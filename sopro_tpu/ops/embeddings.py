@@ -1,0 +1,94 @@
+"""Embedding tables: sinusoidal positions, text, and the fused codebook table.
+
+Re-creates reference: src/sopro/nn/embeddings.py. The codebook table is a
+single fused embedding of Q*V (+1 BOS) rows indexed as cb*V + token, exactly
+as the checkpoint lays it out; `sum_embed_subset` is the NAR's
+"previously-decoded codebooks" conditioning (softmax-weighted sum), expressed
+as one gather + einsum so XLA maps it onto a batched matmul.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, jnp.ndarray]
+
+
+def sinusoidal_table(d_model: int, max_len: int) -> jnp.ndarray:
+    """Precomputed sin/cos table [max_len, d] with interleaved sin/cos
+    (reference: src/sopro/nn/embeddings.py:11-22)."""
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32)
+        * (-math.log(10000.0) / d_model)
+    )
+    angles = position * div  # [L, d/2]
+    pe = jnp.zeros((max_len, d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angles))
+    pe = pe.at[:, 1::2].set(jnp.cos(angles))
+    return pe
+
+
+def init_embedding(
+    key: jax.Array, num: int, dim: int, dtype=jnp.float32
+) -> Params:
+    # torch nn.Embedding default: N(0, 1)
+    return {"emb": jax.random.normal(key, (num, dim), dtype)}
+
+
+def embed(p: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(p["emb"], ids, axis=0)
+
+
+class CodebookEmbeddingSpec:
+    """Shape bookkeeping for the fused codebook table
+    (reference: src/sopro/nn/embeddings.py:37-49)."""
+
+    def __init__(self, num_codebooks: int, vocab_size: int, use_bos: bool = True):
+        self.Q = int(num_codebooks)
+        self.V = int(vocab_size)
+        self.use_bos = bool(use_bos)
+        self.table_size = self.Q * self.V + (1 if use_bos else 0)
+        self.bos_id = self.Q * self.V if use_bos else None
+
+
+def init_codebook_embedding(
+    key: jax.Array, spec: CodebookEmbeddingSpec, d_model: int, dtype=jnp.float32
+) -> Params:
+    return init_embedding(key, spec.table_size, d_model, dtype)
+
+
+def cb_embed_tokens(
+    p: Params, spec: CodebookEmbeddingSpec, tokens: jnp.ndarray, cb_index: int
+) -> jnp.ndarray:
+    """Embed tokens of one codebook: row = cb*V + token."""
+    return jnp.take(p["emb"], cb_index * spec.V + tokens, axis=0)
+
+
+def cb_sum_embed_subset(
+    p: Params,
+    spec: CodebookEmbeddingSpec,
+    tokens_btk: jnp.ndarray,
+    cb_indices: Sequence[int],
+    cb_weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Softmax(cb_weights)-weighted sum of embeddings over a codebook subset
+    (reference: src/sopro/nn/embeddings.py:77-112).
+
+    tokens_btk: [B, T, K] tokens for codebooks `cb_indices` (len K).
+    cb_weights: [Q] (full) or [K] logits; softmax over the K selected entries.
+    """
+    offs = jnp.asarray([cb * spec.V for cb in cb_indices], jnp.int32)
+    idx = tokens_btk + offs[None, None, :]
+    emb = jnp.take(p["emb"], idx, axis=0)  # [B, T, K, D]
+    if cb_weights is not None:
+        w = cb_weights
+        if w.shape[0] == spec.Q:
+            w = w[jnp.asarray(list(cb_indices), jnp.int32)]
+        w = jax.nn.softmax(w.astype(jnp.float32), axis=0).astype(emb.dtype)
+        return jnp.einsum("btkd,k->btd", emb, w)
+    return jnp.sum(emb, axis=2)

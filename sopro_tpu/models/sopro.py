@@ -1,0 +1,361 @@
+"""Sopro model graph: conditioning preparation, the on-device AR decode loop,
+and NAR refinement (reference: src/sopro/model.py:53-401), re-designed
+TPU-first:
+
+* all decode state (per-layer conv ring buffers, sampling history, RNG key,
+  EOS bookkeeping) is one explicit carry pytree;
+* the AR hot loop is a single `lax.while_loop` on device with zero host
+  round-trips (the reference syncs a scalar per frame) and early exit on EOS;
+* a chunked `lax.scan` variant powers streaming (fixed chunk of steps per
+  dispatch, carry threaded between chunks);
+* sampling (top-k/top-p/repetition penalty/anti-loop recovery) runs on device
+  (sopro_tpu/sampling.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sopro_tpu.config import SoproTTSConfig
+from sopro_tpu.models import generator as G
+from sopro_tpu.models import nar as N
+from sopro_tpu.models import speaker as SPK
+from sopro_tpu.models import text as TXT
+from sopro_tpu.ops.attention import build_kv_cache, init_xattn, ref_xattn
+from sopro_tpu.ops.blocks import init_rmsnorm, init_ssmlite, rmsnorm, ssmlite
+from sopro_tpu.ops.embeddings import (
+    CodebookEmbeddingSpec,
+    cb_sum_embed_subset,
+    init_codebook_embedding,
+    sinusoidal_table,
+)
+from sopro_tpu import sampling as S
+
+Params = Dict
+SoproModelParams = Dict
+
+
+class PreparedReference(NamedTuple):
+    """Precomputed reference-audio conditioning
+    (reference: src/sopro/model.py:45-51). A pure-array pytree, so it is
+    trivially serializable and jit-transparent."""
+
+    sv_ref: jnp.ndarray  # [B, sv_dim]
+    ref_seq: jnp.ndarray  # [B, Tr, D]
+    ref_kv: Tuple  # per ref-xattn layer: {"k","v","mask"}
+
+
+@functools.lru_cache(maxsize=8)
+def _frame_pos_table(d_model: int, max_len: int):
+    return sinusoidal_table(d_model, max_len)
+
+
+def init_sopro_model(
+    key: jax.Array, cfg: SoproTTSConfig, text_vocab_size: int, dtype=jnp.float32
+) -> SoproModelParams:
+    ks = jax.random.split(key, 8 + cfg.ref_enc_layers + cfg.ref_xattn_layers)
+    i = iter(range(len(ks)))
+    return {
+        "text_enc": TXT.init_text_encoder(ks[next(i)], cfg, text_vocab_size, dtype),
+        "cb_embed": init_codebook_embedding(
+            ks[next(i)], cb_spec(cfg), cfg.d_model, dtype
+        ),
+        "nar_prev_cb_weights": jnp.zeros((cfg.num_codebooks,), jnp.float32),
+        "token2sv": SPK.init_token2sv(
+            ks[next(i)], cfg.num_codebooks, cfg.codebook_size,
+            d=192, out_dim=cfg.sv_student_dim, dtype=dtype,
+        ),
+        "spk_film": SPK.init_speaker_film(
+            ks[next(i)], cfg.d_model, cfg.sv_student_dim, dtype
+        ),
+        "ar": G.init_ar_generator(ks[next(i)], cfg, dtype),
+        "nar": N.init_nar(ks[next(i)], cfg, dtype),
+        "cond_norm": init_rmsnorm(cfg.d_model, dtype),
+        "ref_enc_blocks": [
+            init_ssmlite(ks[next(i)], cfg.d_model, kernel_size=7, dtype=dtype)
+            for _ in range(cfg.ref_enc_layers)
+        ],
+        "ref_enc_norm": init_rmsnorm(cfg.d_model, dtype),
+        "ref_xattn": [
+            init_xattn(ks[next(i)], cfg.d_model, dtype)
+            for _ in range(cfg.ref_xattn_layers)
+        ],
+        # non-learned mixing buffer (reference: src/sopro/model.py:113-117)
+        "ref_cb_weights": jnp.linspace(1.0, 0.1, cfg.num_codebooks, dtype=jnp.float32),
+    }
+
+
+def cb_spec(cfg: SoproTTSConfig) -> CodebookEmbeddingSpec:
+    return CodebookEmbeddingSpec(cfg.num_codebooks, cfg.codebook_size, use_bos=True)
+
+
+# --------------------------------------------------------------------------
+# reference conditioning
+# --------------------------------------------------------------------------
+
+
+def encode_reference_seq(
+    p: SoproModelParams,
+    cfg: SoproTTSConfig,
+    ref_tokens_btq: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """softmax(ref_cb_weights)-mixed codebook embeddings → 2 SSMLite blocks →
+    RMSNorm (reference: src/sopro/model.py:133-149)."""
+    spec = cb_spec(cfg)
+    x = cb_sum_embed_subset(
+        p["cb_embed"], spec, ref_tokens_btq, list(range(cfg.num_codebooks)),
+        cb_weights=p["ref_cb_weights"],
+    )
+    if mask is not None:
+        x = x * mask[..., None].astype(x.dtype)
+    for bp in p["ref_enc_blocks"]:
+        x = ssmlite(bp, x, kernel_size=7, dilation=1, causal=False, mask=mask)
+    return rmsnorm(p["ref_enc_norm"], x)
+
+
+def prepare_reference(
+    p: SoproModelParams,
+    cfg: SoproTTSConfig,
+    ref_tokens_btq: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> PreparedReference:
+    """(reference: src/sopro/model.py:151-170)"""
+    sv_ref = SPK.token2sv(
+        p["token2sv"], ref_tokens_btq, cfg.codebook_size, mask=mask
+    )
+    ref_seq = encode_reference_seq(p, cfg, ref_tokens_btq, mask=mask)
+    ref_kv = tuple(
+        build_kv_cache(xp, ref_seq, heads=cfg.ref_xattn_heads, mask=mask)
+        for xp in p["ref_xattn"]
+    )
+    return PreparedReference(sv_ref=sv_ref, ref_seq=ref_seq, ref_kv=ref_kv)
+
+
+def prepare_conditioning(
+    p: SoproModelParams,
+    cfg: SoproTTSConfig,
+    text_ids: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    ref: PreparedReference,
+    *,
+    max_frames: int,
+    style_strength: float,
+) -> Dict[str, jnp.ndarray]:
+    """Per-frame conditioning for every output frame at once
+    (reference: src/sopro/model.py:172-216)."""
+    txt_seq, txt_pool = TXT.text_encoder(p["text_enc"], cfg, text_ids, text_mask)
+
+    tar = int(max_frames) + 1
+    pos = _frame_pos_table(cfg.d_model, cfg.pos_emb_max + 8)[:tar]
+    base = txt_pool[:, None, :] + pos[None].astype(txt_pool.dtype)
+    cond = SPK.speaker_film(p["spk_film"], base, ref.sv_ref, strength=style_strength)
+
+    for xp, kv in zip(p["ref_xattn"], ref.ref_kv):
+        cond = ref_xattn(xp, cond, kv, heads=cfg.ref_xattn_heads, gmax=cfg.ref_xattn_gmax)
+    cond = rmsnorm(p["cond_norm"], cond)
+
+    return {"txt_seq": txt_seq, "text_mask": text_mask, "cond_ar": cond}
+
+
+# --------------------------------------------------------------------------
+# AR decode loop
+# --------------------------------------------------------------------------
+
+
+class ARCarry(NamedTuple):
+    t: jnp.ndarray  # i32 scalar: next step index
+    conv_state: List[jnp.ndarray]
+    hist: jnp.ndarray  # [B, 50] rolling history
+    streak: jnp.ndarray  # [B] consecutive-repeat count
+    last: jnp.ndarray  # [B] previous token (BOS placeholder at t=0)
+    key: jax.Array
+    tokens: jnp.ndarray  # [B, S] sampled tokens
+    first_eos: jnp.ndarray  # [B] index of first EOS, S if none
+    stopped: jnp.ndarray  # [B] bool: EOS honored (past min_gen)
+
+
+class ARSettings(NamedTuple):
+    top_p: jnp.ndarray
+    temperature: jnp.ndarray
+    recovery_top_p: jnp.ndarray
+    recovery_temp: jnp.ndarray
+    min_gen_frames: jnp.ndarray  # i32
+    anti_loop: bool = True
+    loop_streak: int = 8
+
+
+def default_ar_settings(
+    *,
+    top_p: float = 0.9,
+    temperature: float = 1.05,
+    anti_loop: bool = True,
+    recovery_top_p: float = 0.85,
+    recovery_temp: float = 1.2,
+    min_gen_frames: int = 12,
+    loop_streak: int = 8,
+) -> ARSettings:
+    """Defaults mirror reference: src/sopro/model.py:218-231."""
+    return ARSettings(
+        top_p=jnp.float32(top_p),
+        temperature=jnp.float32(temperature),
+        recovery_top_p=jnp.float32(recovery_top_p),
+        recovery_temp=jnp.float32(recovery_temp),
+        min_gen_frames=jnp.int32(min_gen_frames),
+        anti_loop=bool(anti_loop),
+        loop_streak=int(loop_streak),
+    )
+
+
+def init_ar_carry(
+    cfg: SoproTTSConfig, batch: int, max_steps: int, key: jax.Array, dtype=jnp.float32
+) -> ARCarry:
+    return ARCarry(
+        t=jnp.int32(0),
+        conv_state=G.init_ar_conv_state(cfg, batch, dtype),
+        hist=S.init_history(batch),
+        streak=jnp.zeros((batch,), jnp.int32),
+        last=jnp.zeros((batch,), jnp.int32),
+        key=key,
+        tokens=jnp.zeros((batch, max_steps), jnp.int32),
+        first_eos=jnp.full((batch,), max_steps, jnp.int32),
+        stopped=jnp.zeros((batch,), bool),
+    )
+
+
+def ar_single_step(
+    p: SoproModelParams,
+    cfg: SoproTTSConfig,
+    carry: ARCarry,
+    cond_ar: jnp.ndarray,
+    kv_caches: List[Optional[Dict]],
+    settings: ARSettings,
+) -> ARCarry:
+    """One AR frame, entirely on device
+    (loop body of reference: src/sopro/model.py:265-305)."""
+    spec = cb_spec(cfg)
+    t = carry.t
+    # previous-token embedding; BOS row at t=0 (reference: model.py:265-270)
+    emb_row = jnp.where(t == 0, jnp.int32(spec.bos_id), carry.last)
+    prev_emb = jnp.take(p["cb_embed"]["emb"], emb_row, axis=0)
+    x_t = jax.lax.dynamic_index_in_dim(cond_ar, t, axis=1, keepdims=False) + prev_emb
+
+    top_p, temp = S.anti_loop_settings(
+        carry.hist,
+        t,
+        carry.streak,
+        base=(settings.top_p, settings.temperature),
+        recovery=(settings.recovery_top_p, settings.recovery_temp),
+        loop_streak=settings.loop_streak,
+        enabled=settings.anti_loop,
+    )
+
+    logits, conv_state = G.ar_step(p["ar"], cfg, x_t, carry.conv_state, kv_caches)
+
+    key, sub = jax.random.split(carry.key)
+    tok = S.sample_token(
+        sub, logits, carry.hist, t,
+        S.SamplerSettings(top_p=top_p, temperature=temp),
+    )
+
+    hist = S.push_history(carry.hist, tok)
+    streak, last = S.update_streak(carry.streak, carry.last, tok, t)
+
+    is_eos = tok == cfg.eos_id
+    tokens = carry.tokens.at[:, t].set(tok)
+    first_eos = jnp.where(
+        is_eos & (carry.first_eos >= carry.tokens.shape[1]), t, carry.first_eos
+    )
+    stopped = carry.stopped | (is_eos & ((t + 1) >= settings.min_gen_frames))
+
+    return ARCarry(
+        t=t + 1,
+        conv_state=conv_state,
+        hist=hist,
+        streak=streak,
+        last=last,
+        key=key,
+        tokens=tokens,
+        first_eos=first_eos,
+        stopped=stopped,
+    )
+
+
+def ar_generate(
+    p: SoproModelParams,
+    cfg: SoproTTSConfig,
+    cond_ar: jnp.ndarray,
+    txt_seq: jnp.ndarray,
+    text_mask: Optional[jnp.ndarray],
+    key: jax.Array,
+    settings: ARSettings,
+    max_steps: int,
+) -> ARCarry:
+    """Full AR decode as one on-device while_loop with EOS early exit
+    (reference: src/sopro/model.py:218-305)."""
+    kv_caches = G.build_text_kv_caches(p["ar"], cfg, txt_seq, text_mask)
+    carry = init_ar_carry(cfg, cond_ar.shape[0], max_steps, key, cond_ar.dtype)
+
+    def cond_fn(c: ARCarry):
+        return (c.t < max_steps) & ~jnp.all(c.stopped)
+
+    def body_fn(c: ARCarry):
+        return ar_single_step(p, cfg, c, cond_ar, kv_caches, settings)
+
+    return jax.lax.while_loop(cond_fn, body_fn, carry)
+
+
+def ar_generate_chunk(
+    p: SoproModelParams,
+    cfg: SoproTTSConfig,
+    carry: ARCarry,
+    cond_ar: jnp.ndarray,
+    kv_caches: List[Optional[Dict]],
+    settings: ARSettings,
+    n_steps: int,
+) -> ARCarry:
+    """Advance the AR decode by a fixed chunk of steps (streaming driver).
+    Steps past EOS-stop or max_steps are no-ops (state frozen)."""
+    max_steps = carry.tokens.shape[1]
+
+    def body_fn(c: ARCarry, _):
+        active = (c.t < max_steps) & ~jnp.all(c.stopped)
+        out = jax.lax.cond(
+            active,
+            lambda cc: ar_single_step(p, cfg, cc, cond_ar, kv_caches, settings),
+            lambda cc: cc,
+            c,
+        )
+        return out, None
+
+    carry, _ = jax.lax.scan(body_fn, carry, None, length=n_steps)
+    return carry
+
+
+# --------------------------------------------------------------------------
+# NAR refinement
+# --------------------------------------------------------------------------
+
+
+def nar_refine(
+    p: SoproModelParams,
+    cfg: SoproTTSConfig,
+    cond_seq: jnp.ndarray,
+    rvq1_bt: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(reference: src/sopro/model.py:307-347)"""
+    return N.nar_refine(
+        p["nar"],
+        p["cb_embed"],
+        cb_spec(cfg),
+        p["nar_prev_cb_weights"],
+        cfg,
+        cond_seq,
+        rvq1_bt,
+        mask=mask,
+    )

@@ -1,0 +1,124 @@
+"""Streaming Mimi decode must be exact: concatenated chunks == full decode
+(unlike the reference's 2-frame-overlap approximation, src/sopro/codec/
+mimi.py:115-181, which is only approximately consistent)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sopro_tpu.codec import MimiConfig, mimi_decode
+from sopro_tpu.codec.convert import init_mimi_params
+from sopro_tpu.codec.streaming import init_mimi_stream_state, mimi_decode_step
+
+SMALL = dict(
+    hidden_size=32,
+    num_filters=4,
+    upsampling_ratios=(4, 3),
+    codebook_size=16,
+    codebook_dim=8,
+    num_quantizers=4,
+    vector_quantization_hidden_dimension=8,
+    num_semantic_quantizers=1,
+    upsample_groups=32,
+    num_hidden_layers=2,
+    intermediate_size=64,
+    num_attention_heads=2,
+    num_key_value_heads=2,
+    head_dim=16,
+    sliding_window=6,
+    frame_rate=1000.0,
+)
+
+
+@pytest.fixture(scope="module")
+def small_mimi():
+    cfg = MimiConfig(**SMALL)
+    params = jax.device_put(init_mimi_params(3, cfg))
+    return params, cfg
+
+
+@pytest.mark.parametrize("chunks", [[1] * 12, [3, 3, 3, 3], [2, 5, 1, 4], [12]])
+def test_stream_matches_full(small_mimi, rng, chunks):
+    params, cfg = small_mimi
+    T = sum(chunks)
+    codes = rng.integers(0, cfg.codebook_size, size=(1, T, cfg.num_quantizers))
+    codes = jnp.asarray(codes, jnp.int32)
+
+    full = np.asarray(mimi_decode(params, cfg, codes))
+
+    state = init_mimi_stream_state(cfg, batch=1)
+    outs = []
+    t = 0
+    for n in chunks:
+        wav, state = mimi_decode_step(params, cfg, codes[:, t : t + n], state)
+        assert wav.shape == (1, n * cfg.hop_length)
+        outs.append(np.asarray(wav))
+        t += n
+    streamed = np.concatenate(outs, axis=1)
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, rtol=1e-5, atol=1e-5)
+
+
+def test_stream_long_past_sliding_window(small_mimi, rng):
+    """More transformer tokens than the sliding window (2T > W): the ring KV
+    must keep producing outputs identical to the full decode."""
+    params, cfg = small_mimi
+    T = 20  # 40 tokens > sliding_window=6
+    codes = jnp.asarray(
+        rng.integers(0, cfg.codebook_size, size=(2, T, cfg.num_quantizers)),
+        jnp.int32,
+    )
+    full = np.asarray(mimi_decode(params, cfg, codes))
+    state = init_mimi_stream_state(cfg, batch=2)
+    outs = []
+    for t in range(0, T, 2):
+        wav, state = mimi_decode_step(params, cfg, codes[:, t : t + 2], state)
+        outs.append(np.asarray(wav))
+    np.testing.assert_allclose(
+        np.concatenate(outs, axis=1), full, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_stream_transformer_exact_vs_full(small_mimi, rng):
+    """Directly stress the ring KV: streamed transformer activations must
+    match the full-sequence sliding-window transformer tightly (the waveform-
+    level check is too forgiving to catch a lost/overwritten KV slot)."""
+    from sopro_tpu.codec.mimi_jax import mimi_transformer
+    from sopro_tpu.codec.streaming import _stream_transformer
+
+    params, cfg = small_mimi
+    T = 31
+    x = jnp.asarray(rng.standard_normal((2, T, cfg.hidden_size)), jnp.float32)
+    full = np.asarray(
+        mimi_transformer(params["dec_tf"], cfg, x, jnp.arange(T))
+    )
+    state = init_mimi_stream_state(cfg, batch=2)
+    outs = []
+    t = 0
+    for n in [1, 2, 7, 3, 6, 5, 4, 2, 1]:  # includes n=7 > sliding_window=6
+        y, state = _stream_transformer(params["dec_tf"], cfg, x[:, t : t + n], state)
+        outs.append(np.asarray(y))
+        t += n
+    np.testing.assert_allclose(
+        np.concatenate(outs, axis=1), full, rtol=2e-6, atol=2e-6
+    )
+
+
+def test_stream_step_jit_stable(small_mimi, rng):
+    """The step must be jittable with state as an argument pytree."""
+    params, cfg = small_mimi
+    step = jax.jit(lambda p, c, s: mimi_decode_step(p, cfg, c, s))
+    codes = jnp.asarray(
+        rng.integers(0, cfg.codebook_size, size=(1, 8, cfg.num_quantizers)),
+        jnp.int32,
+    )
+    full = np.asarray(mimi_decode(params, cfg, codes))
+    state = init_mimi_stream_state(cfg, batch=1)
+    outs = []
+    for t in range(0, 8, 4):
+        wav, state = step(params, codes[:, t : t + 4], state)
+        outs.append(np.asarray(wav))
+    np.testing.assert_allclose(
+        np.concatenate(outs, axis=1), full, rtol=1e-5, atol=1e-5
+    )

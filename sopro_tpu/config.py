@@ -152,4 +152,6 @@ def pick_bucket(n: int, buckets: Tuple[int, ...]) -> int:
     for b in buckets:
         if n <= b:
             return int(b)
-    return int(buckets[-1])
+    # beyond the largest bucket: round up to a multiple of it
+    top = int(buckets[-1])
+    return ((int(n) + top - 1) // top) * top

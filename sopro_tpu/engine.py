@@ -1,0 +1,340 @@
+"""Execution engine: bucketed, jit-cached device functions for the TTS
+pipeline.
+
+The reference runs eager torch with a host round-trip per AR frame
+(reference: src/sopro/model.py:284-299). Here every stage is a jitted
+function over static bucket shapes, cached per shape:
+
+* text/reference lengths are padded to bucket sizes (RuntimeConfig) with
+  masks, so arbitrary inputs reuse a handful of compilations;
+* the AR loop is one on-device `lax.while_loop` (zero host syncs per frame,
+  early exit on EOS); streaming uses a fixed-chunk `lax.scan`;
+* NAR + vocoder run on padded frame buckets; the only per-utterance host
+  sync is reading the generated length after the AR stage.
+
+Parameters live on device once (`jax.device_put` at construction) and are
+passed as jit arguments — never baked into HLO as constants.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sopro_tpu.codec.mimi_config import MimiConfig
+from sopro_tpu.codec.mimi_jax import mimi_decode, mimi_encode
+from sopro_tpu.codec.streaming import (
+    MimiStreamState,
+    init_mimi_stream_state,
+    mimi_decode_step,
+)
+from sopro_tpu.config import RuntimeConfig, SoproTTSConfig, pick_bucket
+from sopro_tpu.models import generator as G
+from sopro_tpu.models import sopro as M
+
+
+def _pad_axis(x: np.ndarray, axis: int, to: int) -> np.ndarray:
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, to - x.shape[axis])
+    return np.pad(x, pad)
+
+
+class Engine:
+    """Owns device params and the jit cache. Batch size 1 on the public
+    paths (reference parity); the underlying model functions are batched and
+    the serving scheduler drives them with B > 1."""
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        cfg: SoproTTSConfig,
+        mimi_params: Optional[Dict[str, Any]],
+        mimi_cfg: Optional[MimiConfig],
+        runtime: Optional[RuntimeConfig] = None,
+    ):
+        self.cfg = cfg
+        self.mimi_cfg = mimi_cfg
+        self.rt = runtime or RuntimeConfig()
+        self.params = jax.device_put(params)
+        self.mimi_params = jax.device_put(mimi_params) if mimi_params else None
+        self._fns: Dict[Tuple, Any] = {}
+
+    # -- jit cache ---------------------------------------------------------
+
+    def _fn(self, key: Tuple, builder):
+        if key not in self._fns:
+            self._fns[key] = jax.jit(builder())
+        return self._fns[key]
+
+    # -- reference conditioning -------------------------------------------
+
+    def prepare_reference(self, ref_tokens_tq: np.ndarray) -> M.PreparedReference:
+        """[T, Q] int tokens -> PreparedReference (padded to a ref bucket;
+        masks inside the KV caches keep numerics exact)."""
+        t = int(ref_tokens_tq.shape[0])
+        tb = pick_bucket(t, self.rt.ref_buckets)
+        toks = _pad_axis(np.asarray(ref_tokens_tq, np.int32), 0, tb)[None]
+        mask = np.zeros((1, tb), bool)
+        mask[:, :t] = True
+
+        fn = self._fn(("prep_ref", tb), lambda: functools.partial(
+            M.prepare_reference, cfg=self.cfg
+        ))
+        return fn(self.params, ref_tokens_btq=jnp.asarray(toks),
+                  mask=jnp.asarray(mask))
+
+    def token2sv(self, ref_tokens_tq: np.ndarray) -> np.ndarray:
+        from sopro_tpu.models import speaker as SPK
+
+        t = int(ref_tokens_tq.shape[0])
+        tb = pick_bucket(t, self.rt.ref_buckets)
+        toks = _pad_axis(np.asarray(ref_tokens_tq, np.int32), 0, tb)[None]
+        mask = np.zeros((1, tb), bool)
+        mask[:, :t] = True
+        fn = self._fn(("t2sv", tb), lambda: (
+            lambda p, toks, mask: SPK.token2sv(
+                p["token2sv"], toks, self.cfg.codebook_size, mask=mask
+            )
+        ))
+        return np.asarray(fn(self.params, jnp.asarray(toks), jnp.asarray(mask)))[0]
+
+    def prepare_conditioning(
+        self,
+        text_ids: np.ndarray,
+        ref: M.PreparedReference,
+        *,
+        max_frames: int,
+        style_strength: float,
+    ) -> Dict[str, jnp.ndarray]:
+        l = int(text_ids.shape[0])
+        lb = pick_bucket(l, self.rt.text_buckets)
+        ids = _pad_axis(np.asarray(text_ids, np.int32), 0, lb)[None]
+        mask = np.zeros((1, lb), bool)
+        mask[:, :l] = True
+
+        def build():
+            def f(params, ids, mask, ref, strength):
+                return M.prepare_conditioning(
+                    params, self.cfg, ids, mask, ref,
+                    max_frames=max_frames, style_strength=strength,
+                )
+            return f
+
+        fn = self._fn(("cond", lb, int(max_frames)), build)
+        return fn(self.params, jnp.asarray(ids), jnp.asarray(mask), ref,
+                  jnp.float32(style_strength))
+
+    # -- AR decode ---------------------------------------------------------
+
+    def ar_generate(
+        self,
+        prep: Dict[str, jnp.ndarray],
+        *,
+        max_frames: int,
+        seed: int,
+        top_p: float,
+        temperature: float,
+        anti_loop: bool,
+        min_gen_frames: Optional[int],
+    ) -> Tuple[np.ndarray, int]:
+        """Full AR decode on device; returns (rvq1 tokens [T], T) with EOS
+        excluded, per reference truncation (src/sopro/model.py:385-396)."""
+        min_gen = int(min_gen_frames or self.cfg.min_gen_frames)
+
+        def build():
+            def f(params, cond, txt_seq, text_mask, key, top_p, temp, min_gen):
+                settings = M.ARSettings(
+                    top_p=top_p,
+                    temperature=temp,
+                    recovery_top_p=jnp.float32(0.85),
+                    recovery_temp=jnp.float32(1.2),
+                    min_gen_frames=min_gen,
+                    anti_loop=anti_loop,
+                )
+                # max_frames + 1 steps (reference: src/sopro/model.py:242)
+                carry = M.ar_generate(
+                    params, self.cfg, cond, txt_seq, text_mask, key,
+                    settings, max_frames + 1,
+                )
+                return carry.tokens, carry.first_eos, carry.t
+            return f
+
+        lb = prep["txt_seq"].shape[1]
+        fn = self._fn(("ar", lb, int(max_frames), bool(anti_loop)), build)
+        tokens, first_eos, t = fn(
+            self.params, prep["cond_ar"], prep["txt_seq"], prep["text_mask"],
+            jax.random.PRNGKey(seed), jnp.float32(top_p),
+            jnp.float32(temperature), jnp.int32(min_gen),
+        )
+        t_total = int(t)
+        cut = min(int(first_eos[0]), t_total)
+        return np.asarray(tokens[0, :cut]), cut
+
+    # -- NAR + vocoder -----------------------------------------------------
+
+    def _frame_bucket(self, t: int) -> int:
+        m = int(self.rt.nar_pad_multiple)
+        return max(m, ((t + m - 1) // m) * m)
+
+    def nar_refine(
+        self, cond_ar: jnp.ndarray, rvq1: np.ndarray, t: int
+    ) -> np.ndarray:
+        """cond [1, S, D] (S >= t), rvq1 [t] -> tokens [t, Q]."""
+        tb = min(self._frame_bucket(t), cond_ar.shape[1])
+        mask = np.zeros((1, tb), bool)
+        mask[:, :t] = True
+        rvq = _pad_axis(np.asarray(rvq1, np.int32), 0, tb)[None]
+
+        fn = self._fn(("nar", tb), lambda: (
+            lambda p, cond, rvq, mask: M.nar_refine(p, self.cfg, cond, rvq, mask=mask)
+        ))
+        out = fn(self.params, cond_ar[:, :tb], jnp.asarray(rvq), jnp.asarray(mask))
+        return np.asarray(out[0, :t])
+
+    def decode(self, tokens_tq: np.ndarray) -> np.ndarray:
+        """[T, Q] -> wav [1, T*hop] via the JAX Mimi decoder."""
+        if self.mimi_params is None:
+            raise RuntimeError("No Mimi codec params loaded.")
+        t = int(tokens_tq.shape[0])
+        tb = self._frame_bucket(t)
+        toks = _pad_axis(np.asarray(tokens_tq, np.int32), 0, tb)[None]
+        fn = self._fn(("mimi_dec", tb), lambda: functools.partial(
+            mimi_decode, cfg=self.mimi_cfg
+        ))
+        wav = fn(self.mimi_params, codes_btq=jnp.asarray(toks))
+        return np.asarray(wav[:, : t * self.mimi_cfg.hop_length])
+
+    def encode_audio(self, wav: np.ndarray) -> np.ndarray:
+        """mono wav [S] (codec sample rate) -> codes [T, Q]."""
+        if self.mimi_params is None:
+            raise RuntimeError("No Mimi codec params loaded.")
+        fn = self._fn(("mimi_enc", int(wav.shape[-1])), lambda: functools.partial(
+            mimi_encode, cfg=self.mimi_cfg
+        ))
+        codes = fn(self.mimi_params, wav_bs=jnp.asarray(wav, jnp.float32)[None])
+        return np.asarray(codes[0])
+
+    # -- streaming primitives ---------------------------------------------
+
+    def ar_start(
+        self, prep: Dict[str, jnp.ndarray], *, max_frames: int, seed: int
+    ) -> Tuple[M.ARCarry, Any]:
+        """Init AR carry + text KV caches (device-resident across chunks)."""
+        lb = prep["txt_seq"].shape[1]
+        fn = self._fn(("ar_kv", lb), lambda: (
+            lambda p, txt_seq, mask: G.build_text_kv_caches(
+                p["ar"], self.cfg, txt_seq, mask
+            )
+        ))
+        kv = fn(self.params, prep["txt_seq"], prep["text_mask"])
+        carry = M.init_ar_carry(
+            self.cfg, 1, max_frames + 1, jax.random.PRNGKey(seed)
+        )
+        return carry, kv
+
+    def ar_chunk(
+        self,
+        carry: M.ARCarry,
+        kv: Any,
+        cond_ar: jnp.ndarray,
+        *,
+        n_steps: int,
+        top_p: float,
+        temperature: float,
+        anti_loop: bool,
+        min_gen_frames: Optional[int],
+    ) -> M.ARCarry:
+        min_gen = int(min_gen_frames or self.cfg.min_gen_frames)
+
+        def build():
+            def f(params, carry, kv, cond, top_p, temp, min_gen):
+                settings = M.ARSettings(
+                    top_p=top_p, temperature=temp,
+                    recovery_top_p=jnp.float32(0.85),
+                    recovery_temp=jnp.float32(1.2),
+                    min_gen_frames=min_gen, anti_loop=anti_loop,
+                )
+                return M.ar_generate_chunk(
+                    params, self.cfg, carry, cond, kv, settings, n_steps
+                )
+            return f
+
+        fn = self._fn(
+            ("ar_chunk", int(n_steps), bool(anti_loop), cond_ar.shape[1]), build
+        )
+        return fn(self.params, carry, kv, cond_ar, jnp.float32(top_p),
+                  jnp.float32(temperature), jnp.int32(min_gen))
+
+    def nar_window_dyn(
+        self,
+        cond_ar: jnp.ndarray,
+        tokens: jnp.ndarray,
+        valid_t: int,
+        *,
+        window: int,
+        n_new: int,
+        nar_ctx: int,
+    ) -> np.ndarray:
+        """Fixed-size windowed NAR re-refine for streaming: refine the
+        `window` frames ending at `valid_t` (zero-padded below frame 0), with
+        a validity mask limiting context to `nar_ctx + n_new` frames — the
+        exact numerics of the reference's variable-length windows
+        (src/sopro/streaming.py:81-98). Returns the refined window [W, Q];
+        the caller emits the last n_new rows."""
+        w = int(window)
+
+        def build():
+            def f(params, cond, toks, valid_t, n_new, nar_ctx):
+                cond_pad = jnp.concatenate(
+                    [jnp.zeros((1, w, cond.shape[-1]), cond.dtype), cond], axis=1
+                )
+                toks_pad = jnp.concatenate(
+                    [jnp.zeros((1, w), toks.dtype), toks], axis=1
+                )
+                win = jax.lax.dynamic_slice_in_dim(cond_pad, valid_t, w, axis=1)
+                rvq = jax.lax.dynamic_slice_in_dim(toks_pad, valid_t, w, axis=1)
+                win_valid = jnp.minimum(valid_t, nar_ctx + n_new)
+                mask = (jnp.arange(w) >= (w - win_valid))[None]
+                return M.nar_refine(params, self.cfg, win, rvq, mask=mask)
+            return f
+
+        fn = self._fn(
+            ("nar_win_dyn", w, int(cond_ar.shape[1]), int(tokens.shape[1])), build
+        )
+        out = fn(self.params, cond_ar, tokens, jnp.int32(valid_t),
+                 jnp.int32(n_new), jnp.int32(nar_ctx))
+        return np.asarray(out[0])
+
+    def mimi_stream_init(self) -> MimiStreamState:
+        return init_mimi_stream_state(self.mimi_cfg, batch=1)
+
+    def mimi_stream_step(
+        self, codes_tq: np.ndarray, state: MimiStreamState
+    ) -> Tuple[np.ndarray, MimiStreamState]:
+        n = int(codes_tq.shape[0])
+        fn = self._fn(("mimi_step", n), lambda: functools.partial(
+            mimi_decode_step, cfg=self.mimi_cfg
+        ))
+        wav, state = fn(self.mimi_params, codes_btq=jnp.asarray(codes_tq, jnp.int32)[None],
+                        state=state)
+        return np.asarray(wav[0]), state
+
+    # -- warmup ------------------------------------------------------------
+
+    def warmup(self, *, text_len: int = 64, max_frames: int = 400) -> None:
+        """Pre-compile the common path (from_pretrained callers pay compile
+        cost up front instead of on the first request)."""
+        ref_toks = np.zeros((32, self.cfg.num_codebooks), np.int32)
+        ref = self.prepare_reference(ref_toks)
+        ids = np.ones((text_len,), np.int32)
+        prep = self.prepare_conditioning(
+            ids, ref, max_frames=max_frames, style_strength=1.0
+        )
+        self.ar_generate(
+            prep, max_frames=max_frames, seed=0, top_p=0.9, temperature=1.0,
+            anti_loop=True, min_gen_frames=None,
+        )

@@ -1,0 +1,227 @@
+"""Checkpoint loading: HF hub snapshots, safetensors-embedded config, and the
+flat-name -> pytree converters for both the Sopro model and the Mimi codec.
+
+Checkpoint contract (reference: src/sopro/hub.py:15-52):
+* `model.safetensors` with the model config as JSON in the safetensors
+  `__metadata__["cfg"]` field (8-byte little-endian header-length prefix);
+* torch-layout tensors under the reference module names (e.g.
+  `ar.blocks.0.dw.dw.weight` [D, 1, k]); unknown config keys are dropped.
+
+The converter maps those names to sopro_tpu parameter pytrees with the JAX
+layouts ([k, 1, D] HIO convs, [in, out] linears).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from sopro_tpu.config import SoproTTSConfig
+
+Array = np.ndarray
+SD = Dict[str, Array]
+
+
+def download_repo(
+    repo_id: str,
+    *,
+    revision: Optional[str] = None,
+    cache_dir: Optional[str] = None,
+    token: Optional[str] = None,
+) -> str:
+    """HF snapshot download; pass-through of the reference's loader
+    (reference: src/sopro/hub.py:15-27). A local directory path is returned
+    unchanged, so offline use works without the hub."""
+    if os.path.isdir(repo_id):
+        return repo_id
+    from huggingface_hub import snapshot_download
+
+    return snapshot_download(
+        repo_id=repo_id, revision=revision, cache_dir=cache_dir, token=token
+    )
+
+
+def read_safetensors_metadata(path: str) -> Dict[str, str]:
+    """Parse the `__metadata__` block from a safetensors header
+    (reference: src/sopro/hub.py:30-35)."""
+    with open(path, "rb") as f:
+        (header_len,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(header_len).decode("utf-8"))
+    meta = header.get("__metadata__", {}) or {}
+    return {str(k): str(v) for k, v in meta.items()}
+
+
+def load_cfg_from_safetensors(path: str) -> SoproTTSConfig:
+    """(reference: src/sopro/hub.py:38-48)"""
+    meta = read_safetensors_metadata(path)
+    if "cfg" not in meta:
+        raise RuntimeError(f"No 'cfg' metadata found in {path}.")
+    return SoproTTSConfig.from_dict(json.loads(meta["cfg"]))
+
+
+def load_flat_safetensors(path: str) -> SD:
+    """Flat name -> numpy array, torch layouts preserved."""
+    from safetensors.numpy import load_file
+
+    return dict(load_file(path))
+
+
+def write_safetensors(path: str, flat: SD, metadata: Optional[Dict[str, str]] = None):
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v) for k, v in flat.items()}, path,
+              metadata=metadata)
+
+
+# --------------------------------------------------------------------------
+# flat torch-named state dict -> sopro_tpu pytree
+# --------------------------------------------------------------------------
+
+
+def _lin(sd: SD, name: str) -> Dict[str, Array]:
+    p = {"w": np.ascontiguousarray(sd[f"{name}.weight"].T)}
+    if f"{name}.bias" in sd:
+        p["b"] = sd[f"{name}.bias"]
+    return p
+
+
+def _rms(sd: SD, name: str) -> Dict[str, Array]:
+    return {"scale": sd[f"{name}.weight"]}
+
+
+def _ln(sd: SD, name: str) -> Dict[str, Array]:
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def _dw(sd: SD, name: str) -> Dict[str, Array]:
+    # torch depthwise Conv1d [D, 1, k] -> HIO [k, 1, D]
+    p = {"w": np.ascontiguousarray(np.transpose(sd[f"{name}.weight"], (2, 1, 0)))}
+    if f"{name}.bias" in sd:
+        p["b"] = sd[f"{name}.bias"]
+    return p
+
+
+def _emb(sd: SD, name: str) -> Dict[str, Array]:
+    return {"emb": sd[f"{name}.weight"]}
+
+
+def _ssmlite(sd: SD, name: str) -> Dict[str, Any]:
+    return {
+        "norm": _rms(sd, f"{name}.norm"),
+        "glu": {"pro": _lin(sd, f"{name}.glu.pro")},
+        "dw": _dw(sd, f"{name}.dw.dw"),
+        "ff_norm": _rms(sd, f"{name}.ff.0"),
+        "ff1": _lin(sd, f"{name}.ff.1"),
+        "ff2": _lin(sd, f"{name}.ff.3"),
+    }
+
+
+def _xattn(sd: SD, name: str) -> Dict[str, Any]:
+    return {
+        "nq": _rms(sd, f"{name}.nq"),
+        "nkv": _rms(sd, f"{name}.nkv"),
+        "q": _lin(sd, f"{name}.q_proj"),
+        "k": _lin(sd, f"{name}.k_proj"),
+        "v": _lin(sd, f"{name}.v_proj"),
+        "out": _lin(sd, f"{name}.out_proj"),
+        "gate": sd[f"{name}.gate"],
+    }
+
+
+def _layers(sd: SD, prefix: str, n: int, fn) -> List[Any]:
+    return [fn(sd, f"{prefix}.{i}") for i in range(n)]
+
+
+def sopro_params_from_flat(sd: SD, cfg: SoproTTSConfig) -> Dict[str, Any]:
+    """Reference checkpoint names -> sopro_tpu model pytree (mirrors the
+    module tree at reference: src/sopro/model.py:54-117)."""
+    has_xattn = [
+        (i + 1) % int(cfg.ar_text_attn_freq) == 0 for i in range(cfg.n_layers_ar)
+    ]
+    stages = cfg.stage_order()
+    stage_idx = cfg.stage_indices()
+
+    nar = {
+        "blocks": _layers(sd, "nar.blocks", cfg.n_layers_nar, _ssmlite),
+        "norm": _rms(sd, "nar.norm"),
+        "pre": _lin(sd, "nar.pre"),
+        "stage_emb": _emb(sd, "nar.stage_emb"),
+        "adapter": {
+            "norm": _rms(sd, "nar.adapter.norm"),
+            "mlp1": _lin(sd, "nar.adapter.mlp.0"),
+            "mlp2": _lin(sd, "nar.adapter.mlp.2"),
+        },
+        "heads": {
+            s: [_lin(sd, f"nar.heads.{s}.{i}") for i in range(len(stage_idx[s]))]
+            for s in stages
+        },
+        "head_id_emb": {s: _emb(sd, f"nar.head_id_emb.{s}") for s in stages},
+        "mix": {s: sd[f"nar.mix.{s}"] for s in stages},
+    }
+
+    return {
+        "text_enc": {
+            "embed": _emb(sd, "text_enc.embed.emb"),
+            "layers": _layers(sd, "text_enc.layers", cfg.n_layers_text, _ssmlite),
+            "norm": _rms(sd, "text_enc.norm"),
+        },
+        "cb_embed": _emb(sd, "cb_embed.emb"),
+        "nar_prev_cb_weights": sd["nar_prev_cb_weights"],
+        "token2sv": {
+            "emb": _emb(sd, "token2sv.emb"),
+            "cb_weights": sd["token2sv.cb_weights"],
+            "conv1": _dw(sd, "token2sv.enc.0.dw"),
+            "conv2": _dw(sd, "token2sv.enc.3.dw"),
+            "pool": {
+                "a1": _lin(sd, "token2sv.pool.attn.0"),
+                "a2": _lin(sd, "token2sv.pool.attn.2"),
+            },
+            "proj": _lin(sd, "token2sv.proj"),
+        },
+        "spk_film": {
+            "mlp1": _lin(sd, "spk_film.mlp.0"),
+            "mlp2": _lin(sd, "spk_film.mlp.2"),
+            "norm": _ln(sd, "spk_film.norm"),
+        },
+        "ar": {
+            "blocks": _layers(sd, "ar.blocks", cfg.n_layers_ar, _ssmlite),
+            "xattn": [
+                _xattn(sd, f"ar.x_attns.{i}") if has_xattn[i] else None
+                for i in range(cfg.n_layers_ar)
+            ],
+            "norm": _rms(sd, "ar.norm"),
+            "head": _lin(sd, "ar.head"),
+        },
+        "nar": nar,
+        "cond_norm": _rms(sd, "cond_norm"),
+        "ref_enc_blocks": _layers(sd, "ref_enc_blocks", cfg.ref_enc_layers, _ssmlite),
+        "ref_enc_norm": _rms(sd, "ref_enc_norm"),
+        "ref_xattn": _layers(sd, "ref_xattn.blocks", cfg.ref_xattn_layers, _xattn),
+        "ref_cb_weights": sd["ref_cb_weights"],
+    }
+
+
+def load_sopro_checkpoint(path: str):
+    """model.safetensors -> (cfg, params pytree)."""
+    cfg = load_cfg_from_safetensors(path)
+    flat = load_flat_safetensors(path)
+    return cfg, sopro_params_from_flat(flat, cfg)
+
+
+def load_mimi_checkpoint(path: str, cfg_json: Optional[str] = None):
+    """Mimi model.safetensors (+ optional config.json path) ->
+    (MimiConfig, params pytree)."""
+    from sopro_tpu.codec.convert import convert_mimi_state_dict
+    from sopro_tpu.codec.mimi_config import MimiConfig
+
+    if cfg_json and os.path.exists(cfg_json):
+        with open(cfg_json) as f:
+            cfg = MimiConfig.from_dict(json.load(f))
+    else:
+        cfg = MimiConfig()
+    flat = load_flat_safetensors(path)
+    return cfg, convert_mimi_state_dict(flat, cfg)

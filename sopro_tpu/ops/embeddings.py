@@ -18,18 +18,21 @@ import jax.numpy as jnp
 Params = Dict[str, jnp.ndarray]
 
 
-def sinusoidal_table(d_model: int, max_len: int) -> jnp.ndarray:
+def sinusoidal_table(d_model: int, max_len: int):
     """Precomputed sin/cos table [max_len, d] with interleaved sin/cos
-    (reference: src/sopro/nn/embeddings.py:11-22)."""
-    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
-    div = jnp.exp(
-        jnp.arange(0, d_model, 2, dtype=jnp.float32)
+    (reference: src/sopro/nn/embeddings.py:11-22). Built in numpy so callers
+    may lru_cache it without leaking tracers."""
+    import numpy as np
+
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float32)
         * (-math.log(10000.0) / d_model)
     )
     angles = position * div  # [L, d/2]
-    pe = jnp.zeros((max_len, d_model), jnp.float32)
-    pe = pe.at[:, 0::2].set(jnp.sin(angles))
-    pe = pe.at[:, 1::2].set(jnp.cos(angles))
+    pe = np.zeros((max_len, d_model), np.float32)
+    pe[:, 0::2] = np.sin(angles)
+    pe[:, 1::2] = np.cos(angles)
     return pe
 
 

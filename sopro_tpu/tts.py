@@ -1,0 +1,262 @@
+"""User-facing facade: the `SoproTTS` API the reference exposes
+(reference: src/sopro/model.py:404-583), backed by the jitted TPU engine.
+
+API contract preserved: `from_pretrained / encode_text / encode_speaker /
+encode_reference / prepare_reference / synthesize / stream / save_wav`.
+Waveforms are numpy float32 [1, S] at 24 kHz on the host side; everything
+between tokenization and the waveform runs on device.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+from sopro_tpu import audio as A
+from sopro_tpu import hub as H
+from sopro_tpu.config import RuntimeConfig, SoproTTSConfig
+from sopro_tpu.constants import DEFAULT_MIMI_ID, TARGET_SR
+from sopro_tpu.engine import Engine
+from sopro_tpu.models.sopro import PreparedReference
+from sopro_tpu.tokenizer import SimpleCharTokenizer, TextTokenizer
+
+
+def center_crop_tokens(tokens_tq: np.ndarray, win: int) -> np.ndarray:
+    """(reference: src/sopro/sampling.py:8-13)"""
+    t = int(tokens_tq.shape[0])
+    if t <= win:
+        return tokens_tq
+    s = (t - win) // 2
+    return tokens_tq[s : s + win]
+
+
+class SoproTTS:
+    def __init__(
+        self,
+        engine: Engine,
+        cfg: SoproTTSConfig,
+        tokenizer,
+        runtime: Optional[RuntimeConfig] = None,
+    ):
+        self.engine = engine
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.rt = runtime or RuntimeConfig()
+
+    # ------------------------------------------------------------------ load
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        repo_id: str,
+        *,
+        revision: Optional[str] = None,
+        cache_dir: Optional[str] = None,
+        token: Optional[str] = None,
+        mimi_repo_id: str = DEFAULT_MIMI_ID,
+        runtime: Optional[RuntimeConfig] = None,
+        warmup: bool = False,
+    ) -> "SoproTTS":
+        """(reference: src/sopro/model.py:419-451). `repo_id` may be a local
+        snapshot directory (offline)."""
+        local = H.download_repo(
+            repo_id, revision=revision, cache_dir=cache_dir, token=token
+        )
+        model_path = os.path.join(local, "model.safetensors")
+        if not os.path.exists(model_path):
+            raise FileNotFoundError(f"Expected {model_path} in repo snapshot.")
+        cfg, params = H.load_sopro_checkpoint(model_path)
+        tokenizer = TextTokenizer(model_name=local)
+
+        mimi_local = H.download_repo(mimi_repo_id, cache_dir=cache_dir, token=token)
+        mimi_cfg, mimi_params = H.load_mimi_checkpoint(
+            os.path.join(mimi_local, "model.safetensors"),
+            cfg_json=os.path.join(mimi_local, "config.json"),
+        )
+        eng = Engine(params, cfg, mimi_params, mimi_cfg, runtime)
+        tts = cls(eng, cfg, tokenizer, runtime)
+        if warmup:
+            eng.warmup()
+        return tts
+
+    @classmethod
+    def from_random(
+        cls,
+        cfg: Optional[SoproTTSConfig] = None,
+        *,
+        seed: int = 0,
+        with_codec: bool = True,
+        mimi_cfg=None,
+        runtime: Optional[RuntimeConfig] = None,
+    ) -> "SoproTTS":
+        """Random-weight instance (development / benchmarks in offline
+        environments; no reference counterpart)."""
+        import jax
+
+        from sopro_tpu.codec.convert import init_mimi_params
+        from sopro_tpu.codec.mimi_config import MimiConfig
+        from sopro_tpu.models.sopro import init_sopro_model
+
+        cfg = cfg or SoproTTSConfig()
+        tokenizer = SimpleCharTokenizer()
+        params = init_sopro_model(
+            jax.random.PRNGKey(seed), cfg, tokenizer.vocab_size
+        )
+        if with_codec:
+            mimi_cfg = mimi_cfg or MimiConfig()
+            mimi_params = init_mimi_params(seed, mimi_cfg)
+        else:
+            mimi_cfg, mimi_params = None, None
+        eng = Engine(params, cfg, mimi_params, mimi_cfg, runtime)
+        return cls(eng, cfg, tokenizer, runtime)
+
+    # ------------------------------------------------------------ text / ref
+
+    def encode_text(self, text: str) -> np.ndarray:
+        return np.asarray(self.tokenizer.encode(text), np.int32)
+
+    def encode_reference(
+        self,
+        *,
+        ref_audio_path: Optional[str] = None,
+        ref_tokens_tq: Optional[np.ndarray] = None,
+        ref_seconds: Optional[float] = None,
+    ) -> np.ndarray:
+        """-> Mimi tokens [T, Q] (reference: src/sopro/model.py:477-514)."""
+        if (ref_tokens_tq is None) == (ref_audio_path is None):
+            raise RuntimeError(
+                "Provide exactly one of ref_audio_path or ref_tokens_tq."
+            )
+        if ref_seconds is None:
+            ref_seconds = 12.0
+
+        if ref_tokens_tq is not None:
+            ref = np.asarray(ref_tokens_tq, np.int32)
+            if ref_seconds and ref_seconds > 0:
+                win = max(1, int(round(ref_seconds * float(self.cfg.mimi_fps))))
+                ref = center_crop_tokens(ref, win)
+            return ref
+
+        # audio path: load -> VAD trim -> resample -> crop to whole frames ->
+        # Mimi encode (reference: src/sopro/codec/mimi.py:41-63)
+        wav, sr = A.load_audio_file(ref_audio_path)
+        wav = A.trim_silence_energy(wav, sr)
+        sr_t = int(self.engine.mimi_cfg.sampling_rate)
+        wav = A.resample(wav, sr, sr_t)
+        if ref_seconds and ref_seconds > 0:
+            fps = float(self.engine.mimi_cfg.frame_rate)
+            hop = int(round(sr_t / fps))
+            win = max(1, int(round(ref_seconds * fps))) * hop
+            wav = A.center_crop_audio(wav, win)
+        # crop to whole frames
+        hop = self.engine.mimi_cfg.hop_length
+        t = (wav.shape[-1] // hop) * hop
+        return self.engine.encode_audio(wav[:t])
+
+    def encode_speaker(
+        self,
+        *,
+        ref_audio_path: Optional[str] = None,
+        ref_tokens_tq: Optional[np.ndarray] = None,
+        ref_seconds: Optional[float] = None,
+    ) -> np.ndarray:
+        """-> speaker embedding [sv_dim] (reference: src/sopro/model.py:457-475)."""
+        toks = self.encode_reference(
+            ref_audio_path=ref_audio_path,
+            ref_tokens_tq=ref_tokens_tq,
+            ref_seconds=ref_seconds,
+        )
+        return self.engine.token2sv(toks)
+
+    def prepare_reference(
+        self,
+        *,
+        ref_audio_path: Optional[str] = None,
+        ref_tokens_tq: Optional[np.ndarray] = None,
+        ref_seconds: Optional[float] = None,
+    ) -> PreparedReference:
+        toks = self.encode_reference(
+            ref_audio_path=ref_audio_path,
+            ref_tokens_tq=ref_tokens_tq,
+            ref_seconds=ref_seconds,
+        )
+        return self.engine.prepare_reference(toks)
+
+    # ------------------------------------------------------------- synthesis
+
+    def generate_tokens(
+        self,
+        text: str,
+        ref: PreparedReference,
+        *,
+        max_frames: int = 400,
+        top_p: float = 0.9,
+        temperature: float = 1.05,
+        anti_loop: bool = True,
+        style_strength: Optional[float] = None,
+        min_gen_frames: Optional[int] = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """text + prepared ref -> [T, num_codebooks] token matrix
+        (reference: src/sopro/model.py:349-401)."""
+        ids = self.encode_text(text)
+        prep = self.engine.prepare_conditioning(
+            ids, ref, max_frames=max_frames,
+            style_strength=float(
+                style_strength if style_strength is not None
+                else self.cfg.style_strength
+            ),
+        )
+        rvq1, t = self.engine.ar_generate(
+            prep, max_frames=max_frames, seed=seed, top_p=top_p,
+            temperature=temperature, anti_loop=anti_loop,
+            min_gen_frames=min_gen_frames,
+        )
+        if t <= 0:
+            return np.zeros((0, self.cfg.num_codebooks), np.int32)
+        return self.engine.nar_refine(prep["cond_ar"], rvq1, t)
+
+    def synthesize(
+        self,
+        text: str,
+        *,
+        ref: Optional[PreparedReference] = None,
+        ref_audio_path: Optional[str] = None,
+        ref_tokens_tq: Optional[np.ndarray] = None,
+        max_frames: int = 400,
+        top_p: float = 0.9,
+        temperature: float = 1.05,
+        anti_loop: bool = True,
+        style_strength: Optional[float] = None,
+        ref_seconds: Optional[float] = None,
+        min_gen_frames: Optional[int] = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """-> wav float32 [1, S] @ 24 kHz (reference: src/sopro/model.py:531-575)."""
+        if ref is None:
+            ref = self.prepare_reference(
+                ref_audio_path=ref_audio_path,
+                ref_tokens_tq=ref_tokens_tq,
+                ref_seconds=ref_seconds,
+            )
+        tokens = self.generate_tokens(
+            text, ref, max_frames=max_frames, top_p=top_p,
+            temperature=temperature, anti_loop=anti_loop,
+            style_strength=style_strength, min_gen_frames=min_gen_frames,
+            seed=seed,
+        )
+        if tokens.shape[0] == 0:
+            return np.zeros((1, 0), np.float32)
+        return self.engine.decode(tokens)
+
+    def stream(self, text: str, **kwargs) -> Iterator[np.ndarray]:
+        """Chunked synthesis (reference: src/sopro/model.py:577-580 ->
+        streaming.stream with chunk_frames default 6)."""
+        from sopro_tpu.streaming import stream as _stream
+
+        return _stream(self, text, **kwargs)
+
+    def save_wav(self, path: str, wav: np.ndarray) -> None:
+        A.save_audio(path, wav, sr=TARGET_SR)

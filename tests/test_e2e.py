@@ -1,0 +1,164 @@
+"""End-to-end pipeline tests: token-level parity of `generate_tokens` vs the
+torch reference under near-greedy sampling, and facade/streaming invariants
+with a small random codec (waveform-level codec parity is covered separately
+in test_mimi_parity.py; the reference's own end-to-end path needs the
+unavailable kyutai/mimi download)."""
+
+import numpy as np
+import pytest
+
+from sopro_tpu.codec.mimi_config import MimiConfig
+from sopro_tpu.config import RuntimeConfig, SoproTTSConfig
+from sopro_tpu.engine import Engine
+from sopro_tpu.tts import SoproTTS
+from sopro_tpu.tokenizer import SimpleCharTokenizer
+
+from tests import torch_ref as TR
+from tests.test_model_parity import CFG, _FakeTok
+from tests.test_mimi_streaming import SMALL as MIMI_SMALL
+
+RT = RuntimeConfig(
+    text_buckets=(16, 32), ref_buckets=(16, 32), nar_pad_multiple=8
+)
+
+
+class _TinyTok(SimpleCharTokenizer):
+    """Byte tokenizer folded into the test model's 50-token vocab."""
+
+    vocab_size = 50
+
+    def encode(self, text):
+        ids = [3 + (b % 44) for b in text.encode("utf-8")]
+        return [self.bos_id] + ids + [self.eos_id]
+
+
+@pytest.fixture(scope="module")
+def pair():
+    """(reference torch model, our facade sharing its exact weights)."""
+    TR.import_ref()
+    import torch
+    from sopro.config import SoproTTSConfig as RefCfg
+    from sopro.model import SoproTTSModel
+
+    torch.manual_seed(21)
+    rcfg = RefCfg(**CFG)
+    ref_model = SoproTTSModel(rcfg, _FakeTok()).eval()
+
+    cfg = SoproTTSConfig(**CFG)
+    params = TR.conv_sopro_model(ref_model)
+    # codec quantizer count must match the model's codebooks
+    mimi_cfg = MimiConfig(**{**MIMI_SMALL, "num_quantizers": CFG["num_codebooks"]})
+    from sopro_tpu.codec.convert import init_mimi_params
+
+    eng = Engine(params, cfg, init_mimi_params(5, mimi_cfg), mimi_cfg, RT)
+    tts = SoproTTS(eng, cfg, _TinyTok(), RT)
+    return ref_model, tts
+
+
+def _ref_generate(
+    ref_model, text_ids, ref_tokens, *, max_frames, temperature, anti_loop=False
+):
+    import torch
+
+    with torch.no_grad():
+        pr = ref_model.prepare_reference(
+            torch.from_numpy(ref_tokens), device=torch.device("cpu")
+        )
+        toks = ref_model.generate_tokens(
+            torch.from_numpy(text_ids),
+            pr,
+            max_frames=max_frames,
+            device=torch.device("cpu"),
+            top_p=0.9,
+            temperature=temperature,
+            anti_loop=anti_loop,
+            style_strength=1.0,
+        )
+    return toks.numpy()
+
+
+def test_generate_tokens_parity_near_greedy(pair, rng):
+    """With temperature -> 0 both samplers reduce to argmax (with identical
+    repetition-penalty behavior; anti-loop recovery is disabled because its
+    recovery path is genuinely stochastic), so the full AR + NAR pipeline
+    must produce identical token matrices."""
+    ref_model, tts = pair
+    text = "hello parity"
+    ids = tts.encode_text(text)
+    ref_tokens = rng.integers(0, CFG["codebook_size"], size=(14, CFG["num_codebooks"]))
+
+    ref_out = _ref_generate(
+        ref_model, ids.astype(np.int64), ref_tokens,
+        max_frames=CFG["max_frames"], temperature=1e-4, anti_loop=False,
+    )
+
+    pref = tts.engine.prepare_reference(ref_tokens.astype(np.int32))
+    ours = tts.generate_tokens(
+        text, pref, max_frames=CFG["max_frames"], top_p=0.9,
+        temperature=1e-4, anti_loop=False, style_strength=1.0, seed=0,
+    )
+    assert ours.shape == ref_out.shape, (ours.shape, ref_out.shape)
+    np.testing.assert_array_equal(ours, ref_out)
+
+
+def test_synthesize_smoke_and_determinism(pair, rng):
+    _, tts = pair
+    ref_tokens = rng.integers(0, CFG["codebook_size"], size=(10, CFG["num_codebooks"]))
+    pref = tts.engine.prepare_reference(ref_tokens.astype(np.int32))
+    hop = tts.engine.mimi_cfg.hop_length
+
+    wav1 = tts.synthesize("a quick test", ref=pref, max_frames=CFG["max_frames"], seed=3)
+    wav2 = tts.synthesize("a quick test", ref=pref, max_frames=CFG["max_frames"], seed=3)
+    assert wav1.ndim == 2 and wav1.shape[0] == 1
+    assert wav1.shape[1] % hop == 0
+    assert np.isfinite(wav1).all()
+    np.testing.assert_array_equal(wav1, wav2)
+
+    wav3 = tts.synthesize("a quick test", ref=pref, max_frames=CFG["max_frames"], seed=4)
+    assert wav3.shape != wav1.shape or not np.array_equal(wav3, wav1)
+
+
+def test_stream_invariants(pair, rng):
+    """Concatenated stream covers exactly the same frame count as the
+    non-streaming path for the same seed (the AR token sequence is identical
+    by construction), with chunk sizes = chunk_frames * hop."""
+    _, tts = pair
+    ref_tokens = rng.integers(0, CFG["codebook_size"], size=(12, CFG["num_codebooks"]))
+    pref = tts.engine.prepare_reference(ref_tokens.astype(np.int32))
+    hop = tts.engine.mimi_cfg.hop_length
+
+    tokens = tts.generate_tokens(
+        "stream me", pref, max_frames=CFG["max_frames"], seed=7
+    )
+    t_total = tokens.shape[0]
+
+    chunks = list(
+        tts.stream("stream me", ref=pref, max_frames=CFG["max_frames"],
+                   chunk_frames=4, seed=7)
+    )
+    assert len(chunks) >= 1
+    for c in chunks[:-1]:
+        assert c.shape == (1, 4 * hop)
+    total = sum(c.shape[1] for c in chunks)
+    assert total == t_total * hop
+    assert all(np.isfinite(c).all() for c in chunks)
+
+
+def test_encode_reference_from_audio(pair, tmp_path, rng):
+    """Audio-file reference path: load -> trim -> resample -> crop -> Mimi
+    encode (reference: src/sopro/codec/mimi.py:41-63)."""
+    _, tts = pair
+    sr = int(tts.engine.mimi_cfg.sampling_rate)
+    hop = tts.engine.mimi_cfg.hop_length
+    wav = (rng.standard_normal(2 * sr) * 0.3).astype(np.float32)
+    p = str(tmp_path / "ref.wav")
+    tts.save_wav(p, wav)
+
+    # 0.016 s at this config's 1000 fps = 16 frames
+    toks = tts.encode_reference(ref_audio_path=p, ref_seconds=0.016)
+    fps = float(tts.engine.mimi_cfg.frame_rate)
+    assert toks.shape == (int(round(0.016 * fps)), tts.cfg.num_codebooks)
+
+    sv = tts.encode_speaker(ref_tokens_tq=toks)
+    assert sv.shape == (tts.cfg.sv_student_dim,)
+    np.testing.assert_allclose(np.linalg.norm(sv), 1.0, rtol=1e-5)

@@ -1,0 +1,114 @@
+"""Benchmark harness (driver contract): prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"}.
+
+Measures the BASELINE.json metric set on the flagship 135M configuration with
+random weights (no checkpoint egress in this environment; compute cost is
+weight-independent):
+
+* single-stream non-streaming RTF (wall / generated audio seconds) at the
+  max-frames long-form setting (BASELINE configs 1/3),
+* streaming TTFA p50 with a precomputed reference (config 2),
+* AR decode rate in frames/s.
+
+Baseline to beat (reference on Apple M3 CPU, README.md:9): TTFA 250 ms,
+RTF 0.05. vs_baseline reports baseline_RTF / our_RTF (x-fold speedup).
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from sopro_tpu import SoproTTS
+    from sopro_tpu.streaming import SoproTTSStreamer, StreamConfig
+
+    t_build = time.perf_counter()
+    tts = SoproTTS.from_random(seed=0)
+    eng = tts.engine
+    build_s = time.perf_counter() - t_build
+
+    rng = np.random.default_rng(0)
+    sr = int(tts.engine.mimi_cfg.sampling_rate)
+    fps = float(tts.cfg.mimi_fps)
+
+    # ~10 s English sentence + 5 s reference (BASELINE config 1 shapes)
+    text = (
+        "The quick brown fox jumps over the lazy dog while the curious cat "
+        "watches from a sunny windowsill in the early morning light."
+    )
+    ref_tokens = rng.integers(
+        0, tts.cfg.codebook_size, size=(int(5 * fps), tts.cfg.num_codebooks)
+    ).astype(np.int32)
+
+    max_frames = 400
+    t0 = time.perf_counter()
+    ref = eng.prepare_reference(ref_tokens)
+    jax.block_until_ready(ref)
+    prep_ref_s = time.perf_counter() - t0
+
+    # ---- non-streaming synthesize: warm once, then measure ----------------
+    def synth(seed):
+        return tts.synthesize(
+            text, ref=ref, max_frames=max_frames, seed=seed, anti_loop=True
+        )
+
+    t0 = time.perf_counter()
+    wav = synth(0)
+    compile_s = time.perf_counter() - t0
+
+    rtfs, frames_rates = [], []
+    for i in range(3):
+        t0 = time.perf_counter()
+        wav = synth(i + 1)
+        dt = time.perf_counter() - t0
+        audio_s = wav.shape[1] / sr
+        rtfs.append(dt / max(audio_s, 1e-9))
+        frames_rates.append((audio_s * fps) / dt)
+    rtf = statistics.median(rtfs)
+    frames_per_s = statistics.median(frames_rates)
+
+    # ---- streaming TTFA ---------------------------------------------------
+    streamer = SoproTTSStreamer(tts, StreamConfig(chunk_frames=6))
+
+    def run_stream(seed):
+        n = 0
+        for c in streamer.stream(
+            text, ref=ref, max_frames=24, chunk_frames=6, seed=seed
+        ):
+            n += c.shape[1]
+        return streamer.last_ttfa_s
+
+    run_stream(0)  # warm the streaming-path jits
+    ttfas = [run_stream(i + 1) * 1000.0 for i in range(5)]
+    ttfa_ms = statistics.median(ttfas)
+
+    backend = jax.devices()[0].platform
+    base_rtf, base_ttfa = 0.05, 250.0
+    result = {
+        "metric": "single-stream RTF (non-streaming synthesize, 32s long-form)",
+        "value": round(rtf, 5),
+        "unit": "RTF",
+        "vs_baseline": round(base_rtf / rtf, 2),
+        "extras": {
+            "backend": backend,
+            "ttfa_p50_ms": round(ttfa_ms, 1),
+            "ttfa_vs_baseline_x": round(base_ttfa / ttfa_ms, 2),
+            "ar_frames_per_s": round(frames_per_s, 1),
+            "audio_s_per_run": round(wav.shape[1] / sr, 2),
+            "build_s": round(build_s, 1),
+            "prepare_ref_s": round(prep_ref_s, 2),
+            "first_run_incl_compile_s": round(compile_s, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""`soprotts` command-line interface (reference: src/sopro/cli.py).
+
+Flag set preserved minus the reference's dead stop-head flags (cli.py:40-48,
+never read). Additions: `--device {tpu,cpu}` selects the JAX platform,
+`--random_init` builds a random-weight stack for offline smoke runs, and
+`--stream` exercises the chunked path writing chunks as they arrive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="soprotts", description="Sopro TTS (TPU-native JAX build)"
+    )
+    p.add_argument("--repo", default="samuel-vitorino/sopro-v1.5",
+                   help="HF repo id or local snapshot dir")
+    p.add_argument("--revision", default=None)
+    p.add_argument("--cache_dir", default=None)
+    p.add_argument("--token", default=None)
+    p.add_argument("--text", required=True)
+    p.add_argument("--ref_audio", default=None, help="reference audio file")
+    p.add_argument("--ref_tokens", default=None,
+                   help=".npy file of Mimi tokens [T, Q] (reference: cli.py:94-98)")
+    p.add_argument("--out", default="sopro_out.wav")
+    p.add_argument("--max_frames", type=int, default=400)
+    p.add_argument("--top_p", type=float, default=0.9)
+    p.add_argument("--temperature", type=float, default=1.05)
+    p.add_argument("--no_anti_loop", action="store_true")
+    p.add_argument("--style_strength", type=float, default=None)
+    p.add_argument("--ref_seconds", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device", choices=["tpu", "cpu"], default=None)
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--stream", action="store_true",
+                   help="use the chunked streaming path")
+    p.add_argument("--chunk_frames", type=int, default=6)
+    p.add_argument("--random_init", action="store_true",
+                   help="random weights instead of a checkpoint (offline dev)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.device == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from sopro_tpu import SoproTTS
+
+    def log(msg):
+        if not args.quiet:
+            print(msg, file=sys.stderr)
+
+    t0 = time.perf_counter()
+    if args.random_init:
+        tts = SoproTTS.from_random(seed=args.seed)
+    else:
+        tts = SoproTTS.from_pretrained(
+            args.repo, revision=args.revision, cache_dir=args.cache_dir,
+            token=args.token,
+        )
+    log(f"model loaded in {time.perf_counter() - t0:.1f}s")
+
+    ref_tokens = None
+    if args.ref_tokens:
+        ref_tokens = np.load(args.ref_tokens).astype(np.int32)
+    if (ref_tokens is None) == (args.ref_audio is None):
+        print("error: provide exactly one of --ref_audio / --ref_tokens",
+              file=sys.stderr)
+        return 2
+
+    t0 = time.perf_counter()
+    ref = tts.prepare_reference(
+        ref_audio_path=args.ref_audio, ref_tokens_tq=ref_tokens,
+        ref_seconds=args.ref_seconds,
+    )
+    log(f"reference prepared in {time.perf_counter() - t0:.1f}s")
+
+    kwargs = dict(
+        ref=ref,
+        max_frames=args.max_frames,
+        top_p=args.top_p,
+        temperature=args.temperature,
+        anti_loop=not args.no_anti_loop,
+        style_strength=args.style_strength,
+        seed=args.seed,
+    )
+
+    sr = 24000
+    t0 = time.perf_counter()
+    if args.stream:
+        chunks = []
+        ttfa = None
+        for c in tts.stream(args.text, chunk_frames=args.chunk_frames, **kwargs):
+            if ttfa is None:
+                ttfa = time.perf_counter() - t0
+                log(f"TTFA {ttfa * 1000:.0f} ms")
+            chunks.append(c)
+        wav = np.concatenate(chunks, axis=1) if chunks else np.zeros((1, 0), np.float32)
+    else:
+        wav = tts.synthesize(args.text, **kwargs)
+    gen_s = time.perf_counter() - t0
+
+    tts.save_wav(args.out, wav)
+    audio_s = wav.shape[1] / sr
+    log(
+        f"generated {audio_s:.2f}s audio in {gen_s:.2f}s "
+        f"(RTF {gen_s / max(audio_s, 1e-9):.3f}) -> {args.out}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -261,9 +261,12 @@ def rvq_decode(q: Params, codes_btq: jnp.ndarray) -> jnp.ndarray:
     MimiSplitResidualVectorQuantizer.decode."""
     nq = codes_btq.shape[-1]
     dec = q["dec_embed"][:nq]  # [Q, V, H]
-    offs = jnp.arange(nq, dtype=codes_btq.dtype) * dec.shape[1]
+    # clamp defensively: an out-of-vocab id (e.g. a leaked EOS) must degrade
+    # gracefully, not poison the stream state with NaN fill values
+    codes = jnp.clip(codes_btq, 0, dec.shape[1] - 1)
+    offs = jnp.arange(nq, dtype=codes.dtype) * dec.shape[1]
     flat = dec.reshape(-1, dec.shape[-1])
-    emb = jnp.take(flat, codes_btq + offs[None, None, :], axis=0)  # [B,T,Q,H]
+    emb = jnp.take(flat, codes + offs[None, None, :], axis=0)  # [B,T,Q,H]
     return jnp.sum(emb, axis=2)
 
 

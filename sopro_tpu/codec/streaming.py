@@ -51,10 +51,14 @@ Params = Dict[str, Any]
 
 
 class MimiStreamState(NamedTuple):
-    pos: jnp.ndarray  # i32 scalar: transformer tokens decoded so far
+    """Fully per-row streaming state: rows may sit at different stream
+    positions (continuous-batching vocoder) and can be frozen per tick via
+    the `mask` argument of mimi_decode_step."""
+
+    pos: jnp.ndarray  # [B] i32: transformer tokens decoded so far per row
     kv_k: Tuple[jnp.ndarray, ...]  # per layer [B, H, W, hd]
     kv_v: Tuple[jnp.ndarray, ...]
-    kv_pos: jnp.ndarray  # [W] absolute position stored in each ring slot
+    kv_pos: jnp.ndarray  # [B, W] absolute position stored in each ring slot
     upsample_carry: jnp.ndarray  # [B, k-s, hidden], bias-free partial sums
     conv_caches: Tuple[jnp.ndarray, ...]  # flattened per-plan-entry caches
 
@@ -135,10 +139,10 @@ def init_mimi_stream_state(
     n_layers = int(cfg.num_hidden_layers)
     us = upsample_spec(cfg)
     return MimiStreamState(
-        pos=jnp.int32(0),
+        pos=jnp.zeros((batch,), jnp.int32),
         kv_k=tuple(jnp.zeros((batch, heads, w, hd), dtype) for _ in range(n_layers)),
         kv_v=tuple(jnp.zeros((batch, heads, w, hd), dtype) for _ in range(n_layers)),
-        kv_pos=jnp.full((w,), -(10 ** 9), jnp.int32),
+        kv_pos=jnp.full((batch, w), -(10 ** 9), jnp.int32),
         upsample_carry=jnp.zeros(
             (batch, int(us["k"]) - int(us["stride"]), int(us["out"])), dtype
         ),
@@ -164,40 +168,50 @@ def _stream_transformer(
     Any chunk size works, including m > sliding_window."""
     b, m, _ = x.shape
     w = int(cfg.sliding_window)
-    q_pos = state.pos + jnp.arange(m, dtype=jnp.int32)
-    cos, sin = rope_cos_sin(q_pos, cfg.head_dim, cfg.rope_theta)
+    q_pos = state.pos[:, None] + jnp.arange(m, dtype=jnp.int32)[None]  # [B, m]
+    cos, sin = jax.vmap(
+        lambda pos: rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+    )(q_pos)  # [B, m, hd] each
+
+    def rope(t):  # t [B, H, m, hd]
+        c = cos[:, None].astype(t.dtype)
+        s = sin[:, None].astype(t.dtype)
+        from sopro_tpu.codec.mimi_jax import _rotate_half
+
+        return t * c + _rotate_half(t) * s
 
     # Attend against [ring keys (all older than the chunk) ++ in-chunk keys],
     # and only write the chunk's tail into the ring afterwards — writing
     # first would overwrite old keys that early chunk queries still need.
     tail = max(m - w, 0)  # only the last min(m, w) chunk keys survive anyway
-    tail_pos = q_pos[tail:]
+    tail_pos = q_pos[:, tail:]  # [B, mt]
     slots = jnp.mod(tail_pos, w)
-    kv_pos = state.kv_pos.at[slots].set(tail_pos)
+    b_idx = jnp.arange(b)[:, None]
+    kv_pos = state.kv_pos.at[b_idx, slots].set(tail_pos)
 
-    # bias [m, W + m]: key j visible to query q iff 0 <= q_pos - k_pos < W
-    k_pos = jnp.concatenate([state.kv_pos, q_pos])
-    diff = q_pos[:, None] - k_pos[None, :]
+    # bias [B, m, W + m]: key j visible to query q iff 0 <= q_pos - k_pos < W
+    k_pos = jnp.concatenate([state.kv_pos, q_pos], axis=1)  # [B, W+m]
+    diff = q_pos[:, :, None] - k_pos[:, None, :]
     bias = jnp.where((diff >= 0) & (diff < w), 0.0, -jnp.inf).astype(jnp.float32)
 
     scale = 1.0 / math.sqrt(cfg.head_dim)
     new_k, new_v = [], []
     for lp, k_ring, v_ring in zip(p["layers"], state.kv_k, state.kv_v):
         h = _layernorm(lp["ln1"], x, cfg.norm_eps)
-        q = apply_rope(_split_heads(h @ lp["q"]["w"], cfg.num_attention_heads), cos, sin)
-        k = apply_rope(_split_heads(h @ lp["k"]["w"], cfg.num_key_value_heads), cos, sin)
+        q = rope(_split_heads(h @ lp["q"]["w"], cfg.num_attention_heads))
+        k = rope(_split_heads(h @ lp["k"]["w"], cfg.num_key_value_heads))
         v = _split_heads(h @ lp["v"]["w"], cfg.num_key_value_heads)
 
         k_all = jnp.concatenate([k_ring, k], axis=2)  # [B, H, W+m, hd]
         v_all = jnp.concatenate([v_ring, v], axis=2)
-        new_k.append(k_ring.at[:, :, slots].set(k[:, :, tail:]))
-        new_v.append(v_ring.at[:, :, slots].set(v[:, :, tail:]))
+        new_k.append(_ring_write(k_ring, k[:, :, tail:], slots))
+        new_v.append(_ring_write(v_ring, v[:, :, tail:], slots))
 
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk",
             q.astype(jnp.float32),
             k_all.astype(jnp.float32),
-        ) * scale + bias[None, None]
+        ) * scale + bias[:, None]
         a = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         a = jnp.einsum("bhqk,bhkd->bhqd", a, v_all.astype(x.dtype))
         x = x + lp["scale_attn"].astype(x.dtype) * (_merge_heads(a) @ lp["o"]["w"])
@@ -212,6 +226,11 @@ def _stream_transformer(
         kv_v=tuple(new_v),
         kv_pos=kv_pos,
     )
+
+
+def _ring_write(ring: jnp.ndarray, vals: jnp.ndarray, slots: jnp.ndarray) -> jnp.ndarray:
+    """ring [B, H, W, hd] <- vals [B, H, mt, hd] at per-row slots [B, mt]."""
+    return jax.vmap(lambda r, v, s: r.at[:, s].set(v))(ring, vals, slots)
 
 
 # --------------------------------------------------------------------------
@@ -256,12 +275,18 @@ def mimi_decode_step(
     cfg: MimiConfig,
     codes_btq: jnp.ndarray,
     state: MimiStreamState,
+    mask: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, MimiStreamState]:
     """Decode a chunk of n frames -> exactly n*hop_length new samples.
 
     codes [B, n, Q]; returns (wav [B, n*hop], new state). Chunks of the same
     n reuse one jit compilation; different n's compile separately.
+
+    `mask` [B] bool (continuous batching): rows with False keep their state
+    untouched and their output row is meaningless — the scheduler advances
+    only the sessions that emitted this tick.
     """
+    prev = state
     emb = rvq_decode(p["quantizer"], codes_btq)  # [B, n, H]
     emb, up_carry = stream_convt(
         p["upsample"], emb, state.upsample_carry, upsample_spec(cfg)
@@ -270,4 +295,31 @@ def mimi_decode_step(
     emb, state = _stream_transformer(p["dec_tf"], cfg, emb, state)
     wav, conv_caches = _stream_decoder(p["decoder"], cfg, emb, state.conv_caches)
     state = state._replace(conv_caches=conv_caches)
+    if mask is not None:
+        def freeze(new, old):
+            m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(m, new, old)
+
+        state = jax.tree.map(freeze, state, prev)
     return wav[..., 0], state
+
+
+def reset_stream_rows(
+    state: MimiStreamState, rows: jnp.ndarray
+) -> MimiStreamState:
+    """Zero the state of the given rows ([B] bool) — slot recycling when a
+    serving session ends and a new one joins."""
+    def z(leaf):
+        m = rows.reshape((-1,) + (1,) * (leaf.ndim - 1))
+        if leaf.dtype == jnp.int32 and leaf.ndim == 2:  # kv_pos sentinel
+            return jnp.where(m, jnp.full_like(leaf, -(10 ** 9)), leaf)
+        return jnp.where(m, jnp.zeros_like(leaf), leaf)
+
+    return MimiStreamState(
+        pos=jnp.where(rows, 0, state.pos),
+        kv_k=tuple(z(x) for x in state.kv_k),
+        kv_v=tuple(z(x) for x in state.kv_v),
+        kv_pos=jnp.where(rows[:, None], -(10 ** 9), state.kv_pos),
+        upsample_carry=z(state.upsample_carry),
+        conv_caches=tuple(z(x) for x in state.conv_caches),
+    )

@@ -170,7 +170,7 @@ class Engine:
             jax.random.PRNGKey(seed), jnp.float32(top_p),
             jnp.float32(temperature), jnp.int32(min_gen),
         )
-        t_total = int(t)
+        t_total = int(t[0])
         cut = min(int(first_eos[0]), t_total)
         return np.asarray(tokens[0, :cut]), cut
 

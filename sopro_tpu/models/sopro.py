@@ -168,12 +168,17 @@ def prepare_conditioning(
 
 
 class ARCarry(NamedTuple):
-    t: jnp.ndarray  # i32 scalar: next step index
+    """Fully per-row decode state: rows advance independently, so a serving
+    scheduler can run sessions of different ages in one batch (continuous
+    batching — the reference instead serializes behind a global lock,
+    demo/server.py:56)."""
+
+    t: jnp.ndarray  # [B] i32: next step index per row
     conv_state: List[jnp.ndarray]
     hist: jnp.ndarray  # [B, 50] rolling history
     streak: jnp.ndarray  # [B] consecutive-repeat count
     last: jnp.ndarray  # [B] previous token (BOS placeholder at t=0)
-    key: jax.Array
+    key: jax.Array  # [B] per-row PRNG keys (uint32 key data)
     tokens: jnp.ndarray  # [B, S] sampled tokens
     first_eos: jnp.ndarray  # [B] index of first EOS, S if none
     stopped: jnp.ndarray  # [B] bool: EOS honored (past min_gen)
@@ -215,16 +220,21 @@ def init_ar_carry(
     cfg: SoproTTSConfig, batch: int, max_steps: int, key: jax.Array, dtype=jnp.float32
 ) -> ARCarry:
     return ARCarry(
-        t=jnp.int32(0),
+        t=jnp.zeros((batch,), jnp.int32),
         conv_state=G.init_ar_conv_state(cfg, batch, dtype),
         hist=S.init_history(batch),
         streak=jnp.zeros((batch,), jnp.int32),
         last=jnp.zeros((batch,), jnp.int32),
-        key=key,
+        key=jax.random.split(key, batch),
         tokens=jnp.zeros((batch, max_steps), jnp.int32),
         first_eos=jnp.full((batch,), max_steps, jnp.int32),
         stopped=jnp.zeros((batch,), bool),
     )
+
+
+def ar_row_active(carry: ARCarry, max_steps: int) -> jnp.ndarray:
+    """[B] bool: rows still decoding."""
+    return (carry.t < max_steps) & ~carry.stopped
 
 
 def ar_single_step(
@@ -235,14 +245,21 @@ def ar_single_step(
     kv_caches: List[Optional[Dict]],
     settings: ARSettings,
 ) -> ARCarry:
-    """One AR frame, entirely on device
-    (loop body of reference: src/sopro/model.py:265-305)."""
+    """One AR frame for every row, entirely on device
+    (loop body of reference: src/sopro/model.py:265-305). Rows advance
+    independently (per-row t); inactive rows (stopped / at max steps) are
+    frozen by masking every state update."""
     spec = cb_spec(cfg)
-    t = carry.t
+    t = carry.t  # [B]
+    max_steps = carry.tokens.shape[1]
+    active = ar_row_active(carry, max_steps)
+
     # previous-token embedding; BOS row at t=0 (reference: model.py:265-270)
     emb_row = jnp.where(t == 0, jnp.int32(spec.bos_id), carry.last)
     prev_emb = jnp.take(p["cb_embed"]["emb"], emb_row, axis=0)
-    x_t = jax.lax.dynamic_index_in_dim(cond_ar, t, axis=1, keepdims=False) + prev_emb
+    t_safe = jnp.minimum(t, cond_ar.shape[1] - 1)
+    cond_t = jnp.take_along_axis(cond_ar, t_safe[:, None, None], axis=1)[:, 0]
+    x_t = cond_t + prev_emb
 
     top_p, temp = S.anti_loop_settings(
         carry.hist,
@@ -256,7 +273,8 @@ def ar_single_step(
 
     logits, conv_state = G.ar_step(p["ar"], cfg, x_t, carry.conv_state, kv_caches)
 
-    key, sub = jax.random.split(carry.key)
+    splits = jax.vmap(jax.random.split)(carry.key)  # [B, 2, 2]
+    key, sub = splits[:, 0], splits[:, 1]
     tok = S.sample_token(
         sub, logits, carry.hist, t,
         S.SamplerSettings(top_p=top_p, temperature=temp),
@@ -266,19 +284,28 @@ def ar_single_step(
     streak, last = S.update_streak(carry.streak, carry.last, tok, t)
 
     is_eos = tok == cfg.eos_id
-    tokens = carry.tokens.at[:, t].set(tok)
-    first_eos = jnp.where(
-        is_eos & (carry.first_eos >= carry.tokens.shape[1]), t, carry.first_eos
+    b_idx = jnp.arange(tok.shape[0])
+    tokens = carry.tokens.at[b_idx, t_safe].set(
+        jnp.where(active, tok, carry.tokens[b_idx, t_safe])
     )
-    stopped = carry.stopped | (is_eos & ((t + 1) >= settings.min_gen_frames))
+    first_eos = jnp.where(
+        active & is_eos & (carry.first_eos >= max_steps), t, carry.first_eos
+    )
+    stopped = carry.stopped | (active & is_eos & ((t + 1) >= settings.min_gen_frames))
+
+    def freeze(new, old):
+        mask = active.reshape((-1,) + (1,) * (new.ndim - 1))
+        return jnp.where(mask, new, old)
 
     return ARCarry(
-        t=t + 1,
-        conv_state=conv_state,
-        hist=hist,
-        streak=streak,
-        last=last,
-        key=key,
+        t=jnp.where(active, t + 1, t),
+        conv_state=[
+            freeze(n, o) for n, o in zip(conv_state, carry.conv_state)
+        ],
+        hist=freeze(hist, carry.hist),
+        streak=jnp.where(active, streak, carry.streak),
+        last=jnp.where(active, last, carry.last),
+        key=freeze(key, carry.key),
         tokens=tokens,
         first_eos=first_eos,
         stopped=stopped,
@@ -301,7 +328,7 @@ def ar_generate(
     carry = init_ar_carry(cfg, cond_ar.shape[0], max_steps, key, cond_ar.dtype)
 
     def cond_fn(c: ARCarry):
-        return (c.t < max_steps) & ~jnp.all(c.stopped)
+        return jnp.any(ar_row_active(c, max_steps))
 
     def body_fn(c: ARCarry):
         return ar_single_step(p, cfg, c, cond_ar, kv_caches, settings)
@@ -318,19 +345,12 @@ def ar_generate_chunk(
     settings: ARSettings,
     n_steps: int,
 ) -> ARCarry:
-    """Advance the AR decode by a fixed chunk of steps (streaming driver).
-    Steps past EOS-stop or max_steps are no-ops (state frozen)."""
-    max_steps = carry.tokens.shape[1]
+    """Advance the AR decode by a fixed chunk of steps (streaming driver /
+    serving tick). Rows past EOS-stop or max_steps are no-ops (per-row
+    masking inside ar_single_step)."""
 
     def body_fn(c: ARCarry, _):
-        active = (c.t < max_steps) & ~jnp.all(c.stopped)
-        out = jax.lax.cond(
-            active,
-            lambda cc: ar_single_step(p, cfg, cc, cond_ar, kv_caches, settings),
-            lambda cc: cc,
-            c,
-        )
-        return out, None
+        return ar_single_step(p, cfg, c, cond_ar, kv_caches, settings), None
 
     carry, _ = jax.lax.scan(body_fn, carry, None, length=n_steps)
     return carry

@@ -78,10 +78,9 @@ def sample_token(
 
     # repetition penalty over the set of the last-50 tokens; only valid
     # (already generated) history entries participate
-    n_valid = jnp.minimum(t, HIST_LEN)
+    n_valid = jnp.minimum(jnp.broadcast_to(t, (b,)), HIST_LEN)  # [B]
     pos = jnp.arange(HIST_LEN)
-    valid = pos[None, :] >= (HIST_LEN - n_valid)  # [B?, H] — t scalar => [1, H]
-    valid = jnp.broadcast_to(valid, hist.shape)
+    valid = pos[None, :] >= (HIST_LEN - n_valid)[:, None]  # [B, H]
     ids = jnp.where(valid, hist, v)  # invalid -> out-of-range, dropped
     present = jnp.zeros((b, v), bool)
     present = present.at[jnp.arange(b)[:, None], ids].set(True, mode="drop")
@@ -104,7 +103,11 @@ def sample_token(
     mass2 = jnp.sum(vals, axis=-1, keepdims=True)
     degenerate = degenerate | (mass2[:, 0] <= EPS)
 
-    j = jax.random.categorical(key, jnp.log(jnp.maximum(vals, 1e-30)), axis=-1)
+    logv = jnp.log(jnp.maximum(vals, 1e-30))
+    if key.ndim >= 2:  # per-row keys [B, 2] (continuous-batching path)
+        j = jax.vmap(lambda k, lv: jax.random.categorical(k, lv))(key, logv)
+    else:
+        j = jax.random.categorical(key, logv, axis=-1)
     tok = jnp.take_along_axis(idx, j[:, None], axis=-1)[:, 0]
     fallback = jnp.argmax(x, axis=-1)
     return jnp.where(degenerate, fallback, tok).astype(jnp.int32)

@@ -1,0 +1,412 @@
+"""Continuous-batching scheduler: N concurrent TTS sessions on one chip.
+
+Design (no reference counterpart — the reference FIFO-serializes behind
+`_gen_lock`, demo/server.py:56): a fixed pool of `slots` batch rows holds
+per-session decode state *persistently on device*:
+
+* the AR carry is fully per-row (per-row step counters, RNG keys, EOS
+  bookkeeping — models/sopro.py), so sessions of different ages decode in
+  the same `lax.scan` tick;
+* per-session conditioning and text KV caches live in batched buffers; a
+  join scatters one row, a leave just frees the slot;
+* every tick advances all rows by `chunk_frames`, then one batched windowed
+  NAR pass + one mask-frozen streaming Mimi step vocodes the rows that
+  emitted; finished rows are recycled and waiting sessions admitted.
+
+All device work is 3 jitted calls per tick regardless of batch occupancy.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sopro_tpu.codec.streaming import (
+    init_mimi_stream_state,
+    mimi_decode_step,
+    reset_stream_rows,
+)
+from sopro_tpu.models import generator as G
+from sopro_tpu.models import sopro as M
+
+
+@dataclass
+class SessionHandle:
+    """Host-side handle: chunks arrive on `out` ([1, S] float32 np arrays),
+    terminated by None. `error` is set if the session failed."""
+
+    sid: int
+    out: "queue.Queue[Optional[np.ndarray]]" = field(
+        default_factory=lambda: queue.Queue()
+    )
+    error: Optional[BaseException] = None
+    created_s: float = field(default_factory=time.perf_counter)
+    first_chunk_s: Optional[float] = None
+    frames: int = 0
+
+    def chunks(self):
+        while True:
+            item = self.out.get()
+            if item is None:
+                if self.error is not None:
+                    raise self.error
+                return
+            yield item
+
+
+@dataclass
+class _Slot:
+    handle: SessionHandle
+    emitted: int = 0
+    max_frames: int = 400
+
+
+class ContinuousBatcher:
+    def __init__(
+        self,
+        tts,
+        *,
+        slots: int = 8,
+        chunk_frames: int = 16,
+        text_bucket: int = 256,
+        max_frames: int = 400,
+        nar_context_frames: Optional[int] = None,
+    ):
+        self.tts = tts
+        self.eng = tts.engine
+        self.cfg = tts.cfg
+        self.B = int(slots)
+        self.cf = int(chunk_frames)
+        self.L = int(text_bucket)
+        self.S = int(max_frames) + 1
+        self.max_frames_cap = int(max_frames)
+        self.nar_ctx = int(
+            nar_context_frames if nar_context_frames is not None
+            else tts.cfg.rf_nar()
+        )
+        self.W = self.cf + self.nar_ctx
+        self.hop = self.eng.mimi_cfg.hop_length
+
+        cfgm = self.cfg
+        b, s, d = self.B, self.S, cfgm.d_model
+        self.carry = M.init_ar_carry(cfgm, b, s, jax.random.PRNGKey(0))
+        # stopped=True marks a free slot: frozen by the per-row masking
+        self.carry = self.carry._replace(stopped=jnp.ones((b,), bool))
+        self.cond = jnp.zeros((b, s, d), jnp.float32)
+        zero_txt = jnp.zeros((b, self.L, d), jnp.float32)
+        self.txt_kv = G.build_text_kv_caches(
+            self.eng.params["ar"], cfgm, zero_txt, jnp.zeros((b, self.L), bool)
+        )
+        self.row_top_p = jnp.full((b,), 0.9, jnp.float32)
+        self.row_temp = jnp.full((b,), 1.05, jnp.float32)
+        self.row_min_gen = jnp.full((b,), cfgm.min_gen_frames, jnp.int32)
+        self.row_max_frames = jnp.full((b,), self.max_frames_cap, jnp.int32)
+        self.mimi_state = init_mimi_stream_state(self.eng.mimi_cfg, b)
+
+        self._slots: List[Optional[_Slot]] = [None] * b
+        self._waiting: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.ticks = 0
+
+        self._build_fns()
+
+    # ------------------------------------------------------------------ jit
+
+    def _build_fns(self):
+        eng, cfgm = self.eng, self.cfg
+        cf, W, S, L = self.cf, self.W, self.S, self.L
+
+        def prep(params, ids, mask, ref, strength):
+            prep_d = M.prepare_conditioning(
+                params, cfgm, ids, mask, ref,
+                max_frames=S - 1, style_strength=strength,
+            )
+            kv = G.build_text_kv_caches(
+                params["ar"], cfgm, prep_d["txt_seq"], mask
+            )
+            return prep_d["cond_ar"], kv
+
+        self._prep = jax.jit(prep)
+
+        def join(carry, cond, txt_kv, row_arrays, slot, new_cond, new_kv, key,
+                 top_p, temp, min_gen, max_f):
+            cond = cond.at[slot].set(new_cond[0])
+            txt_kv = [
+                None if old is None else {
+                    "k": old["k"].at[slot].set(new["k"][0]),
+                    "v": old["v"].at[slot].set(new["v"][0]),
+                    "mask": old["mask"].at[slot].set(new["mask"][0]),
+                }
+                for old, new in zip(txt_kv, new_kv)
+            ]
+            carry = M.ARCarry(
+                t=carry.t.at[slot].set(0),
+                conv_state=[c.at[slot].set(0.0) for c in carry.conv_state],
+                hist=carry.hist.at[slot].set(-1),
+                streak=carry.streak.at[slot].set(0),
+                last=carry.last.at[slot].set(0),
+                key=carry.key.at[slot].set(key),
+                tokens=carry.tokens.at[slot].set(0),
+                first_eos=carry.first_eos.at[slot].set(carry.tokens.shape[1]),
+                stopped=carry.stopped.at[slot].set(False),
+            )
+            row_arrays = {
+                "top_p": row_arrays["top_p"].at[slot].set(top_p),
+                "temp": row_arrays["temp"].at[slot].set(temp),
+                "min_gen": row_arrays["min_gen"].at[slot].set(min_gen),
+                "max_frames": row_arrays["max_frames"].at[slot].set(max_f),
+            }
+            return carry, cond, txt_kv, row_arrays
+
+        self._join = jax.jit(join)
+
+        def tick(params, carry, cond, txt_kv, row):
+            settings = M.ARSettings(
+                top_p=row["top_p"],
+                temperature=row["temp"],
+                recovery_top_p=jnp.float32(0.85),
+                recovery_temp=jnp.float32(1.2),
+                min_gen_frames=row["min_gen"],
+                anti_loop=True,
+            )
+            # per-row max_frames: force-stop rows at their cap by flagging
+            # stopped when t reaches max_frames + 1
+            carry = M.ar_generate_chunk(
+                params, cfgm, carry, cond, txt_kv, settings, cf
+            )
+            capped = carry.t >= (row["max_frames"] + 1)
+            return carry._replace(stopped=carry.stopped | capped)
+
+        self._tick = jax.jit(tick)
+
+        def nar_win(params, cond, tokens, emitted, valid_t):
+            """Batched windowed NAR: window = frames [emitted+cf-W,
+            emitted+cf), masked to the reference context [emitted - nar_ctx,
+            valid_t) (src/sopro/streaming.py:81-98)."""
+            cond_pad = jnp.concatenate(
+                [jnp.zeros((cond.shape[0], W, cond.shape[-1]), cond.dtype), cond],
+                axis=1,
+            )
+            toks_pad = jnp.concatenate(
+                [jnp.zeros((tokens.shape[0], W), tokens.dtype), tokens], axis=1
+            )
+            start = emitted + cf  # per-row start into padded arrays
+
+            def row_slice(arr, st):
+                return jax.lax.dynamic_slice_in_dim(arr, st, W, axis=0)
+
+            win = jax.vmap(row_slice)(cond_pad, start)
+            rvq = jax.vmap(row_slice)(toks_pad, start)
+            orig = (emitted[:, None] + cf - W) + jnp.arange(W)[None]
+            mask = (orig >= 0) & (orig < valid_t[:, None])
+            return M.nar_refine(params, cfgm, win, rvq, mask=mask)
+
+        self._nar_win = jax.jit(nar_win)
+
+        def vocode(mp, codes, state, mask):
+            return mimi_decode_step(mp, eng.mimi_cfg, codes, state, mask=mask)
+
+        self._vocode = jax.jit(vocode)
+        self._reset_rows = jax.jit(reset_stream_rows)
+
+    # ------------------------------------------------------------- lifecycle
+
+    def start(self):
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def warmup(self):
+        """Compile the tick/NAR/vocoder path before serving traffic."""
+        ref = self.eng.prepare_reference(
+            np.zeros((32, self.cfg.num_codebooks), np.int32)
+        )
+        h = self.submit("warmup", ref, max_frames=self.cf, min_gen_frames=1)
+        for _ in h.chunks():
+            pass
+
+    # ------------------------------------------------------------- interface
+
+    def submit(
+        self,
+        text: str,
+        ref,
+        *,
+        top_p: float = 0.9,
+        temperature: float = 1.05,
+        style_strength: Optional[float] = None,
+        max_frames: Optional[int] = None,
+        min_gen_frames: Optional[int] = None,
+        seed: int = 0,
+    ) -> SessionHandle:
+        """Queue a session; returns immediately with a handle whose `chunks()`
+        yields waveform chunks as the batch produces them."""
+        handle = SessionHandle(sid=id(object()))
+        req = {
+            "handle": handle,
+            "text": text,
+            "ref": ref,
+            "top_p": float(top_p),
+            "temperature": float(temperature),
+            "style_strength": float(
+                style_strength if style_strength is not None
+                else self.cfg.style_strength
+            ),
+            "max_frames": int(
+                min(max_frames, self.max_frames_cap) if max_frames
+                else self.max_frames_cap
+            ),
+            "min_gen": int(min_gen_frames or self.cfg.min_gen_frames),
+            "seed": int(seed),
+        }
+        self._waiting.put(req)
+        self._wake.set()
+        self.start()
+        return handle
+
+    # -------------------------------------------------------------- internals
+
+    def _admit(self):
+        """Fill free slots from the waiting queue (scheduler thread only)."""
+        while True:
+            free = [i for i, s in enumerate(self._slots) if s is None]
+            if not free or self._waiting.empty():
+                return
+            req = self._waiting.get()
+            slot = free[0]
+            try:
+                ids = self.tts.encode_text(req["text"])[: self.L]
+                ids_p = np.zeros((1, self.L), np.int32)
+                ids_p[0, : len(ids)] = ids
+                mask = np.zeros((1, self.L), bool)
+                mask[0, : len(ids)] = True
+                new_cond, new_kv = self._prep(
+                    self.eng.params, jnp.asarray(ids_p), jnp.asarray(mask),
+                    req["ref"], jnp.float32(req["style_strength"]),
+                )
+                row = {
+                    "top_p": self.row_top_p, "temp": self.row_temp,
+                    "min_gen": self.row_min_gen,
+                    "max_frames": self.row_max_frames,
+                }
+                # same per-row key derivation as init_ar_carry(batch=1), so a
+                # solo scheduled session reproduces the streaming driver
+                row_key = jax.random.split(jax.random.PRNGKey(req["seed"]), 1)[0]
+                self.carry, self.cond, self.txt_kv, row = self._join(
+                    self.carry, self.cond, self.txt_kv, row,
+                    jnp.int32(slot), new_cond, new_kv,
+                    row_key,
+                    jnp.float32(req["top_p"]), jnp.float32(req["temperature"]),
+                    jnp.int32(req["min_gen"]), jnp.int32(req["max_frames"]),
+                )
+                self.row_top_p = row["top_p"]
+                self.row_temp = row["temp"]
+                self.row_min_gen = row["min_gen"]
+                self.row_max_frames = row["max_frames"]
+                self.mimi_state = self._reset_rows(
+                    self.mimi_state,
+                    jnp.asarray(np.arange(self.B) == slot),
+                )
+                self._slots[slot] = _Slot(
+                    handle=req["handle"], max_frames=req["max_frames"]
+                )
+            except BaseException as e:  # deliver the failure to the caller
+                req["handle"].error = e
+                req["handle"].out.put(None)
+
+    def _run(self):
+        while not self._stop.is_set():
+            with self._lock:
+                self._admit()
+                busy = any(s is not None for s in self._slots)
+            if not busy:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            try:
+                self._do_tick()
+            except BaseException as e:
+                # fail all live sessions rather than spinning
+                for i, s in enumerate(self._slots):
+                    if s is not None:
+                        s.handle.error = e
+                        s.handle.out.put(None)
+                        self._slots[i] = None
+
+    def _do_tick(self):
+        row = {
+            "top_p": self.row_top_p, "temp": self.row_temp,
+            "min_gen": self.row_min_gen, "max_frames": self.row_max_frames,
+        }
+        self.carry = self._tick(
+            self.eng.params, self.carry, self.cond, self.txt_kv, row
+        )
+        self.ticks += 1
+        t = np.asarray(self.carry.t)
+        first_eos = np.asarray(self.carry.first_eos)
+        stopped = np.asarray(self.carry.stopped)
+
+        emitting: List[int] = []
+        emitted_arr = np.zeros((self.B,), np.int32)
+        valid_arr = np.zeros((self.B,), np.int32)
+        n_new_arr = np.zeros((self.B,), np.int32)
+        for i, s in enumerate(self._slots):
+            if s is None:
+                continue
+            valid = int(min(first_eos[i], t[i], s.max_frames + 1))
+            n_new = valid - s.emitted
+            if n_new > 0:
+                emitting.append(i)
+                emitted_arr[i] = s.emitted
+                valid_arr[i] = valid
+                n_new_arr[i] = n_new
+
+        if emitting:
+            tokens_w = self._nar_win(
+                self.eng.params, self.cond, self.carry.tokens,
+                jnp.asarray(emitted_arr), jnp.asarray(valid_arr),
+            )  # [B, W, Q]
+            chunk = tokens_w[:, self.W - self.cf :]  # frames [emitted, emitted+cf)
+            mask = np.zeros((self.B,), bool)
+            mask[emitting] = True
+            wav, self.mimi_state = self._vocode(
+                self.eng.mimi_params, chunk, self.mimi_state, jnp.asarray(mask)
+            )
+            wav = np.asarray(wav)
+            for i in emitting:
+                s = self._slots[i]
+                n_new = int(n_new_arr[i])
+                s.handle.out.put(wav[i : i + 1, : n_new * self.hop].copy())
+                if s.handle.first_chunk_s is None:
+                    s.handle.first_chunk_s = (
+                        time.perf_counter() - s.handle.created_s
+                    )
+                s.emitted += n_new
+                s.handle.frames = s.emitted
+
+        # retire finished rows
+        for i, s in enumerate(self._slots):
+            if s is None:
+                continue
+            done = bool(stopped[i]) or int(t[i]) >= self.S
+            valid = int(min(first_eos[i], t[i], s.max_frames + 1))
+            if done and s.emitted >= valid:
+                s.handle.out.put(None)
+                self._slots[i] = None

@@ -1,0 +1,315 @@
+"""FastAPI serving app preserving the reference demo's HTTP + wire contract
+(reference: demo/server.py): `POST /v1/reference/cache`, `POST
+/v1/audio/speech` (non-stream WAV or SPRO framed-PCM stream), `GET /`.
+
+Where the reference holds one global `_gen_lock` for every generation
+(demo/server.py:56 — concurrency 1), every request here is a session on the
+continuous-batching scheduler: N clients stream concurrently from one chip.
+
+Config via environment (same variables as the reference, server.py:26-36,
+plus scheduler knobs):
+  SOPRO_REPO_ID, SOPRO_REVISION, HF_TOKEN, SOPRO_REF_CACHE_DIR,
+  SOPRO_CHUNK_SIZE (default 16), SOPRO_SLOTS (batch slots, default 8),
+  SOPRO_RANDOM_INIT=1 (offline random weights), SOPRO_DEVICE ("cpu" forces
+  the CPU backend).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import struct
+import tempfile
+import threading
+import wave as _wave
+from typing import Optional
+
+import numpy as np
+
+TARGET_SR = 24000
+MAGIC = b"SPRO"
+
+
+# --------------------------------------------------------------------------
+# wire helpers (protocol: demo/server.py:138-143)
+# --------------------------------------------------------------------------
+
+
+def float_to_pcm16le(wav: np.ndarray) -> bytes:
+    wav = np.asarray(wav)
+    if wav.ndim == 2:
+        wav = wav[0]
+    pcm = np.round(np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2")
+    return pcm.tobytes()
+
+
+def wav_bytes_from_float(wav: np.ndarray, sr: int) -> bytes:
+    bio = io.BytesIO()
+    with _wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(int(sr))
+        wf.writeframes(float_to_pcm16le(wav))
+    return bio.getvalue()
+
+
+def stream_header(sr: int, channels: int) -> bytes:
+    return MAGIC + struct.pack("<II", int(sr), int(channels))
+
+
+def frame(payload: bytes) -> bytes:
+    return struct.pack("<I", len(payload)) + payload
+
+
+def sha256_bytes(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+# --------------------------------------------------------------------------
+# prepared-reference (de)serialization — pure arrays, np.savez-able
+# --------------------------------------------------------------------------
+
+
+def save_prepared_reference(path: str, ref) -> None:
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(ref)
+    np.savez(path, *[np.asarray(x) for x in leaves])
+
+
+def load_prepared_reference(path: str, template):
+    import jax
+
+    with np.load(path, allow_pickle=False) as z:
+        leaves = [z[k] for k in z.files]
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# --------------------------------------------------------------------------
+# app state
+# --------------------------------------------------------------------------
+
+
+class ServerConfig:
+    def __init__(self):
+        self.repo_id = os.environ.get("SOPRO_REPO_ID", "samuel-vitorino/sopro-v1.5")
+        self.revision = os.environ.get("SOPRO_REVISION") or None
+        self.token = os.environ.get("HF_TOKEN") or None
+        self.ref_cache_dir = os.environ.get(
+            "SOPRO_REF_CACHE_DIR",
+            os.path.join(tempfile.gettempdir(), "sopro_tpu_ref_cache"),
+        )
+        self.chunk_size = int(os.environ.get("SOPRO_CHUNK_SIZE", "16"))
+        self.slots = int(os.environ.get("SOPRO_SLOTS", "8"))
+        self.random_init = os.environ.get("SOPRO_RANDOM_INIT", "") not in ("", "0")
+        self.default_ref_seconds = float(
+            os.environ.get("SOPRO_REF_SECONDS", "12.0")
+        )
+
+
+CFG = ServerConfig()
+_state_lock = threading.Lock()
+_tts = None
+_batcher = None
+_ref_template = None
+_ref_cache_lock = threading.Lock()
+
+
+def get_tts():
+    global _tts, _batcher
+    with _state_lock:
+        if _tts is None:
+            if os.environ.get("SOPRO_DEVICE") == "cpu":
+                os.environ["JAX_PLATFORMS"] = "cpu"
+                import jax
+
+                jax.config.update("jax_platforms", "cpu")
+            from sopro_tpu import SoproTTS
+            from sopro_tpu.serve.scheduler import ContinuousBatcher
+
+            if CFG.random_init:
+                _tts = SoproTTS.from_random(seed=0)
+            else:
+                _tts = SoproTTS.from_pretrained(
+                    CFG.repo_id, revision=CFG.revision, token=CFG.token
+                )
+            _batcher = ContinuousBatcher(
+                _tts, slots=CFG.slots, chunk_frames=CFG.chunk_size
+            )
+            _batcher.start()
+        return _tts, _batcher
+
+
+def _effective_ref_seconds(rs: Optional[float]) -> float:
+    return float(rs) if rs and rs > 0 else CFG.default_ref_seconds
+
+
+def sv_cache_path(rid: str, ref_seconds: float) -> str:
+    os.makedirs(CFG.ref_cache_dir, exist_ok=True)
+    return os.path.join(CFG.ref_cache_dir, f"{rid}_{ref_seconds:g}.npz")
+
+
+def get_or_compute_ref(tts, data: bytes, *, suffix: str, ref_seconds: float):
+    """sha256-keyed disk cache of PreparedReference pytrees
+    (reference: demo/server.py:89-117, minus the pickle — pure arrays)."""
+    global _ref_template
+    rid = sha256_bytes(data)
+    path = sv_cache_path(rid, ref_seconds)
+    with _ref_cache_lock:
+        if os.path.exists(path) and _ref_template is not None:
+            return load_prepared_reference(path, _ref_template)
+        with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
+            f.write(data)
+            tmp = f.name
+        try:
+            ref = tts.prepare_reference(
+                ref_audio_path=tmp, ref_seconds=ref_seconds
+            )
+        finally:
+            os.unlink(tmp)
+        _ref_template = ref
+        save_prepared_reference(path, ref)
+        return ref
+
+
+def build_app():
+    from fastapi import FastAPI, File, Form, HTTPException, UploadFile
+    from fastapi.responses import HTMLResponse, Response, StreamingResponse
+
+    app = FastAPI(title="SoproTTS TPU API", version="1.5.0")
+
+    @app.get("/healthz")
+    def healthz():
+        return {"ok": True}
+
+    @app.get("/v1/stats")
+    def stats():
+        _, batcher = get_tts()
+        live = sum(1 for s in batcher._slots if s is not None)
+        return {
+            "slots": batcher.B,
+            "active_sessions": live,
+            "waiting": batcher._waiting.qsize(),
+            "ticks": batcher.ticks,
+            "chunk_frames": batcher.cf,
+        }
+
+    @app.get("/")
+    def index():
+        static = os.path.join(os.path.dirname(__file__), "static", "index.html")
+        if os.path.exists(static):
+            with open(static) as f:
+                return HTMLResponse(f.read())
+        return HTMLResponse("<h1>sopro-tpu</h1><p>POST /v1/audio/speech</p>")
+
+    @app.post("/v1/reference/cache")
+    async def cache_reference(
+        ref_audio: UploadFile = File(...),
+        ref_seconds: Optional[float] = Form(None),
+    ):
+        data = await ref_audio.read()
+        await ref_audio.close()
+        if not data:
+            raise HTTPException(status_code=400, detail="Empty `ref_audio` upload.")
+        tts, _ = get_tts()
+        rs = _effective_ref_seconds(ref_seconds)
+        suffix = os.path.splitext(ref_audio.filename or "")[-1] or ".wav"
+        get_or_compute_ref(tts, data, suffix=suffix, ref_seconds=rs)
+        return {"ref_id": sha256_bytes(data), "ref_seconds": rs}
+
+    @app.post("/v1/audio/speech")
+    async def speech(
+        input: str = Form(...),
+        stream: bool = Form(False),
+        ref_id: Optional[str] = Form(None),
+        ref_audio: Optional[UploadFile] = File(None),
+        max_frames: int = Form(400),
+        top_p: float = Form(0.9),
+        temperature: float = Form(1.05),
+        anti_loop: bool = Form(True),
+        style_strength: float = Form(1.2),
+        ref_seconds: Optional[float] = Form(None),
+        seed: int = Form(0),
+    ):
+        if not input.strip():
+            raise HTTPException(status_code=400, detail="`input` must be non-empty.")
+        tts, batcher = get_tts()
+        rs = _effective_ref_seconds(ref_seconds)
+
+        if (ref_id is None) == (ref_audio is None):
+            raise HTTPException(
+                status_code=400,
+                detail="Provide exactly one of `ref_id` or `ref_audio`.",
+            )
+
+        if ref_id is not None:
+            p = sv_cache_path(ref_id, rs)
+            if not os.path.exists(p) or _ref_template is None:
+                raise HTTPException(
+                    status_code=404,
+                    detail="Cached reference not found. Cache it first.",
+                )
+            ref = load_prepared_reference(p, _ref_template)
+        else:
+            data = await ref_audio.read()
+            await ref_audio.close()
+            if not data:
+                raise HTTPException(status_code=400, detail="Empty `ref_audio` upload.")
+            suffix = os.path.splitext(ref_audio.filename or "")[-1] or ".wav"
+            ref = get_or_compute_ref(tts, data, suffix=suffix, ref_seconds=rs)
+
+        # param clamps (reference: demo/server.py:217-220)
+        max_frames = int(max(1, min(int(max_frames), 2000)))
+        top_p = float(max(0.01, min(float(top_p), 1.0)))
+        temperature = float(max(0.05, min(float(temperature), 3.0)))
+        style_strength = float(max(0.0, min(float(style_strength), 3.0)))
+
+        handle = batcher.submit(
+            input, ref, top_p=top_p, temperature=temperature,
+            style_strength=style_strength, max_frames=max_frames, seed=seed,
+        )
+
+        if not stream:
+            chunks = list(handle.chunks())
+            wav = (
+                np.concatenate(chunks, axis=1)
+                if chunks else np.zeros((1, 0), np.float32)
+            )
+            return Response(
+                content=wav_bytes_from_float(wav, TARGET_SR),
+                media_type="audio/wav",
+            )
+
+        def gen():
+            yield stream_header(TARGET_SR, 1)
+            for chunk in handle.chunks():
+                payload = float_to_pcm16le(chunk)
+                if payload:
+                    yield frame(payload)
+
+        return StreamingResponse(gen(), media_type="application/octet-stream")
+
+    return app
+
+
+app = None
+
+
+def get_app():
+    global app
+    if app is None:
+        app = build_app()
+    return app
+
+
+def main():
+    import uvicorn
+
+    uvicorn.run(get_app(), host=os.environ.get("SOPRO_HOST", "0.0.0.0"),
+                port=int(os.environ.get("SOPRO_PORT", "8000")))
+
+
+if __name__ == "__main__":
+    main()

@@ -99,7 +99,7 @@ class SoproTTSStreamer:
                 temperature=temperature, anti_loop=anti_loop,
                 min_gen_frames=min_gen_frames,
             )
-            t_done = int(carry.t)
+            t_done = int(carry.t[0])
             first_eos = int(carry.first_eos[0])
             # EOS never enters the emitted sequence; any EOS ends the stream
             # (reference: src/sopro/streaming.py:113-115)

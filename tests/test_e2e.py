@@ -46,8 +46,12 @@ def pair():
 
     cfg = SoproTTSConfig(**CFG)
     params = TR.conv_sopro_model(ref_model)
-    # codec quantizer count must match the model's codebooks
-    mimi_cfg = MimiConfig(**{**MIMI_SMALL, "num_quantizers": CFG["num_codebooks"]})
+    # codec vocab/quantizers must match the model's codebook layout
+    mimi_cfg = MimiConfig(**{
+        **MIMI_SMALL,
+        "num_quantizers": CFG["num_codebooks"],
+        "codebook_size": CFG["codebook_size"],
+    })
     from sopro_tpu.codec.convert import init_mimi_params
 
     eng = Engine(params, cfg, init_mimi_params(5, mimi_cfg), mimi_cfg, RT)

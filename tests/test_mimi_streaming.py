@@ -105,6 +105,44 @@ def test_stream_transformer_exact_vs_full(small_mimi, rng):
     )
 
 
+def test_per_row_masked_streaming(small_mimi, rng):
+    """Continuous-batching semantics: rows at different stream ages in one
+    batched state, advanced selectively via the mask, must each match an
+    independent single-row stream."""
+    import jax.numpy as jnp
+
+    params, cfg = small_mimi
+    T, n = 8, 2
+    codes = jnp.asarray(
+        rng.integers(0, cfg.codebook_size, size=(2, T, cfg.num_quantizers)),
+        jnp.int32,
+    )
+    full = np.asarray(mimi_decode(params, cfg, codes))
+
+    state = init_mimi_stream_state(cfg, batch=2)
+    outs = {0: [], 1: []}
+    # row 0 advances on every tick, row 1 only on even ticks (so it lags)
+    t_row = [0, 0]
+    for tick in range(6):
+        advance = np.array([t_row[0] < T, tick % 2 == 0 and t_row[1] < T])
+        chunk = np.zeros((2, n, cfg.num_quantizers), np.int32)
+        for r in range(2):
+            if advance[r]:
+                chunk[r] = np.asarray(codes[r, t_row[r] : t_row[r] + n])
+        wav, state = mimi_decode_step(
+            params, cfg, jnp.asarray(chunk), state, mask=jnp.asarray(advance)
+        )
+        for r in range(2):
+            if advance[r]:
+                outs[r].append(np.asarray(wav[r]))
+                t_row[r] += n
+    for r in range(2):
+        got = np.concatenate(outs[r])
+        np.testing.assert_allclose(
+            got, full[r, : got.shape[0]], rtol=1e-5, atol=1e-5
+        )
+
+
 def test_stream_step_jit_stable(small_mimi, rng):
     """The step must be jittable with state as an argument pytree."""
     params, cfg = small_mimi

@@ -165,7 +165,7 @@ def test_ar_generate_full_vs_chunked():
             params, cfg, carry, prep["cond_ar"], kvs, settings, 4
         )
 
-    t_full = int(full.t)
+    t_full = int(full.t[0])
     np.testing.assert_array_equal(
         np.asarray(full.tokens[:, :t_full]), np.asarray(carry.tokens[:, :t_full])
     )

@@ -1,0 +1,281 @@
+"""Continuous-batching scheduler + HTTP server tests.
+
+Key property: a session running concurrently with others in the shared batch
+produces exactly the waveform it would produce alone (per-row RNG keys and
+masked state make co-residents invisible) — the reference can't even express
+this (global lock, demo/server.py:56)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from sopro_tpu.codec.mimi_config import MimiConfig
+from sopro_tpu.config import RuntimeConfig, SoproTTSConfig
+from sopro_tpu.engine import Engine
+from sopro_tpu.serve.scheduler import ContinuousBatcher
+from sopro_tpu.tts import SoproTTS
+
+from tests.test_e2e import _TinyTok
+from tests.test_model_parity import CFG
+from tests.test_mimi_streaming import SMALL as MIMI_SMALL
+
+RT = RuntimeConfig(text_buckets=(16,), ref_buckets=(16,), nar_pad_multiple=8)
+
+
+@pytest.fixture(scope="module")
+def tts():
+    import jax
+
+    from sopro_tpu.codec.convert import init_mimi_params
+    from sopro_tpu.models.sopro import init_sopro_model
+
+    cfg = SoproTTSConfig(**CFG)
+    mimi_cfg = MimiConfig(**{
+        **MIMI_SMALL,
+        "num_quantizers": CFG["num_codebooks"],
+        "codebook_size": CFG["codebook_size"],
+    })
+    params = init_sopro_model(jax.random.PRNGKey(3), cfg, text_vocab_size=50)
+    eng = Engine(params, cfg, init_mimi_params(5, mimi_cfg), mimi_cfg, RT)
+    return SoproTTS(eng, cfg, _TinyTok(), RT)
+
+
+@pytest.fixture()
+def batcher(tts):
+    b = ContinuousBatcher(
+        tts, slots=3, chunk_frames=4, text_bucket=16,
+        max_frames=CFG["max_frames"],
+    )
+    yield b
+    b.stop()
+
+
+def _solo_stream(tts, text, seed, cf=4):
+    chunks = list(
+        tts.stream(text, ref=_ref(tts, seed=0), max_frames=CFG["max_frames"],
+                   chunk_frames=cf, seed=seed)
+    )
+    return np.concatenate(chunks, axis=1) if chunks else np.zeros((1, 0))
+
+
+_REFS = {}
+
+
+def _ref(tts, seed=0):
+    if seed not in _REFS:
+        rng = np.random.default_rng(seed)
+        toks = rng.integers(
+            0, CFG["codebook_size"], size=(10, CFG["num_codebooks"])
+        ).astype(np.int32)
+        _REFS[seed] = tts.engine.prepare_reference(toks)
+    return _REFS[seed]
+
+
+def test_concurrent_sessions_match_solo(tts, batcher):
+    texts = ["alpha one", "beta two two", "gamma three"]
+    seeds = [11, 22, 33]
+    solo = [_solo_stream(tts, t, s) for t, s in zip(texts, seeds)]
+
+    handles = [
+        batcher.submit(t, _ref(tts, seed=0), seed=s)
+        for t, s in zip(texts, seeds)
+    ]
+    outs = []
+    for h in handles:
+        chunks = list(h.chunks())
+        outs.append(
+            np.concatenate(chunks, axis=1) if chunks else np.zeros((1, 0))
+        )
+
+    for i in range(3):
+        assert outs[i].shape == solo[i].shape, (i, outs[i].shape, solo[i].shape)
+        np.testing.assert_allclose(outs[i], solo[i], rtol=1e-4, atol=1e-5)
+
+
+def test_more_sessions_than_slots(tts, batcher):
+    """Overflow sessions wait and are admitted as slots free up."""
+    handles = [
+        batcher.submit(f"text {i}", _ref(tts, seed=0), seed=i)
+        for i in range(7)  # slots=3
+    ]
+    totals = []
+    for h in handles:
+        totals.append(sum(c.shape[1] for c in h.chunks()))
+    assert all(t > 0 for t in totals)
+    assert all(h.first_chunk_s is not None for h in handles)
+
+
+def test_sessions_join_mid_flight(tts, batcher):
+    """A session submitted while others are mid-decode must still match its
+    solo output (slot join does not disturb co-residents, and the late row's
+    own state starts clean)."""
+    solo_a = _solo_stream(tts, "first one", 5)
+    solo_b = _solo_stream(tts, "late joiner", 6)
+
+    ha = batcher.submit("first one", _ref(tts, seed=0), seed=5)
+    got_first = ha.out.get()  # wait until A is actually decoding
+    hb = batcher.submit("late joiner", _ref(tts, seed=0), seed=6)
+
+    rest_a = [got_first]
+    while True:
+        c = ha.out.get()
+        if c is None:
+            break
+        rest_a.append(c)
+    if ha.error:
+        raise ha.error
+    out_a = np.concatenate([c for c in rest_a if c is not None], axis=1)
+    out_b_chunks = list(hb.chunks())
+    out_b = np.concatenate(out_b_chunks, axis=1)
+
+    np.testing.assert_allclose(out_a, solo_a, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out_b, solo_b, rtol=1e-4, atol=1e-5)
+
+
+def _multipart(fields, files):
+    """(content_type, body) for a multipart/form-data request."""
+    boundary = "testboundary123"
+    parts = []
+    for k, v in fields.items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"'
+            f"\r\n\r\n{v}\r\n".encode()
+        )
+    for k, (fn, data) in files.items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"; '
+            f'filename="{fn}"\r\nContent-Type: application/octet-stream'
+            "\r\n\r\n".encode() + data + b"\r\n"
+        )
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    return f"multipart/form-data; boundary={boundary}", body
+
+
+def _post(url, fields, files=None):
+    import urllib.error
+    import urllib.request
+
+    if files:
+        ctype, body = _multipart(fields, files)
+    else:
+        from urllib.parse import urlencode
+
+        ctype = "application/x-www-form-urlencoded"
+        body = urlencode(fields).encode()
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": ctype}, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, dict(r.headers), r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
+
+
+def test_server_http_contract(tts, monkeypatch, tmp_path):
+    """SPRO wire protocol + endpoints over real sockets via the stdlib
+    server (reference contract: demo/server.py:138-143,154-255)."""
+    import json
+    import struct
+    import urllib.request
+
+    from sopro_tpu.serve import server as core
+    from sopro_tpu.serve import server_stdlib as srv
+
+    batcher = ContinuousBatcher(
+        tts, slots=2, chunk_frames=4, text_bucket=16,
+        max_frames=CFG["max_frames"],
+    )
+    batcher.start()
+    monkeypatch.setattr(core, "_tts", tts)
+    monkeypatch.setattr(core, "_batcher", batcher)
+    monkeypatch.setattr(core, "_ref_template", None)
+    monkeypatch.setattr(core.CFG, "ref_cache_dir", str(tmp_path / "refcache"))
+
+    httpd = srv.serve("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert r.status == 200 and json.loads(r.read())["ok"]
+
+        # build a tiny ref wav upload
+        sr = int(tts.engine.mimi_cfg.sampling_rate)
+        wav = np.random.default_rng(0).standard_normal(sr) * 0.3
+        import io
+        import wave as _wave
+
+        bio = io.BytesIO()
+        with _wave.open(bio, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sr)
+            f.writeframes((np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes())
+        ref_bytes = bio.getvalue()
+
+        code, _, body = _post(
+            f"{base}/v1/reference/cache",
+            {"ref_seconds": "0.016"},
+            {"ref_audio": ("ref.wav", ref_bytes)},
+        )
+        assert code == 200, body
+        rid = json.loads(body)["ref_id"]
+
+        # missing cached ref -> 404 (reference behavior)
+        code, _, _b = _post(
+            f"{base}/v1/audio/speech",
+            {"input": "hi", "ref_id": "deadbeef", "stream": "false"},
+        )
+        assert code == 404
+
+        # neither ref -> 400
+        code, _, _b = _post(f"{base}/v1/audio/speech", {"input": "hi"})
+        assert code == 400
+
+        # non-streaming -> complete WAV
+        code, headers, body = _post(
+            f"{base}/v1/audio/speech",
+            {"input": "hello", "ref_id": rid, "stream": "false",
+             "ref_seconds": "0.016", "max_frames": "8"},
+        )
+        assert code == 200
+        assert headers["Content-Type"].startswith("audio/wav")
+        assert body[:4] == b"RIFF"
+
+        # streaming -> SPRO header + length-prefixed PCM frames
+        code, headers, data = _post(
+            f"{base}/v1/audio/speech",
+            {"input": "hello stream", "ref_id": rid, "stream": "true",
+             "ref_seconds": "0.016", "max_frames": "8"},
+        )
+        assert code == 200
+        assert data[:4] == b"SPRO"
+        sr_hdr, ch = struct.unpack("<II", data[4:12])
+        assert sr_hdr == 24000 and ch == 1
+        off, total = 12, 0
+        while off < len(data):
+            (n,) = struct.unpack("<I", data[off : off + 4])
+            off += 4 + n
+            total += n
+        assert off == len(data) and total > 0 and total % 2 == 0
+
+        # concurrent streaming requests really run concurrently
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            futs = [
+                ex.submit(
+                    _post,
+                    f"{base}/v1/audio/speech",
+                    {"input": f"client {i}", "ref_id": rid, "stream": "true",
+                     "ref_seconds": "0.016", "max_frames": "8", "seed": str(i)},
+                )
+                for i in range(2)
+            ]
+            results = [f.result() for f in futs]
+        assert all(c == 200 and d[:4] == b"SPRO" for c, _, d in results)
+    finally:
+        httpd.shutdown()
+        batcher.stop()

@@ -309,6 +309,144 @@ class Engine:
                  jnp.int32(n_new), jnp.int32(nar_ctx))
         return np.asarray(out[0])
 
+    # -- fused streaming (one dispatch per chunk) --------------------------
+
+    def stream_start_fused(
+        self,
+        ids_row: np.ndarray,
+        ref,
+        *,
+        max_frames: int,
+        chunk: int,
+        style_strength: float,
+        seed: int,
+        top_p: float,
+        temperature: float,
+        anti_loop: bool,
+        min_gen: int,
+    ):
+        """Conditioning + KV build + first AR chunk + first-chunk NAR +
+        first vocoder chunk in ONE jitted dispatch — the TTFA path. The NAR
+        window is just `chunk` frames here (there is no earlier context yet),
+        ~30x less NAR work than the steady-state window."""
+        l = int(ids_row.shape[0])
+        lb = pick_bucket(l, self.rt.text_buckets)
+        ids = _pad_axis(np.asarray(ids_row, np.int32), 0, lb)[None]
+        mask = np.zeros((1, lb), bool)
+        mask[:, :l] = True
+        cf = int(chunk)
+
+        def build():
+            def f(params, mp, ids, mask, ref, strength, key, top_p, temp, min_gen):
+                prep = M.prepare_conditioning(
+                    params, self.cfg, ids, mask, ref,
+                    max_frames=max_frames, style_strength=strength,
+                )
+                kv = G.build_text_kv_caches(
+                    params["ar"], self.cfg, prep["txt_seq"], mask
+                )
+                settings = M.ARSettings(
+                    top_p=top_p, temperature=temp,
+                    recovery_top_p=jnp.float32(0.85),
+                    recovery_temp=jnp.float32(1.2),
+                    min_gen_frames=min_gen, anti_loop=anti_loop,
+                )
+                carry = M.init_ar_carry(self.cfg, 1, max_frames + 1, key)
+                carry = M.ar_generate_chunk(
+                    params, self.cfg, carry, prep["cond_ar"], kv, settings, cf
+                )
+                valid = jnp.minimum(carry.first_eos, carry.t)  # [1]
+                frame_mask = (jnp.arange(cf)[None] < valid[:, None])
+                rvq1 = carry.tokens[:, :cf]
+                toks = M.nar_refine(
+                    params, self.cfg, prep["cond_ar"][:, :cf], rvq1,
+                    mask=frame_mask,
+                )
+                wav, mstate = mimi_decode_step(
+                    mp, self.mimi_cfg, toks,
+                    init_mimi_stream_state(self.mimi_cfg, 1),
+                )
+                done = ~jnp.any(M.ar_row_active(carry, max_frames + 1))
+                return wav, valid[0], done, carry, kv, prep["cond_ar"], mstate
+            return f
+
+        fn = self._fn(
+            ("stream_start", lb, int(max_frames), cf, bool(anti_loop)), build
+        )
+        return fn(
+            self.params, self.mimi_params, jnp.asarray(ids), jnp.asarray(mask),
+            ref, jnp.float32(style_strength), jax.random.PRNGKey(seed),
+            jnp.float32(top_p), jnp.float32(temperature), jnp.int32(min_gen),
+        )
+
+    def stream_step_fused(
+        self,
+        carry,
+        kv,
+        cond_ar,
+        mstate,
+        emitted: int,
+        *,
+        chunk: int,
+        nar_ctx: int,
+        top_p: float,
+        temperature: float,
+        anti_loop: bool,
+        min_gen: int,
+    ):
+        """AR chunk + windowed NAR + vocoder chunk in ONE dispatch.
+
+        Emits the `chunk` frames [emitted, emitted+chunk) refined with
+        `nar_ctx` frames of context (reference window semantics,
+        src/sopro/streaming.py:81-98); the caller ships only the first
+        n_new = valid - emitted frames of audio."""
+        cf, ctx = int(chunk), int(nar_ctx)
+        w = cf + ctx
+
+        def build():
+            def f(params, mp, carry, kv, cond, mstate, emitted,
+                  top_p, temp, min_gen):
+                settings = M.ARSettings(
+                    top_p=top_p, temperature=temp,
+                    recovery_top_p=jnp.float32(0.85),
+                    recovery_temp=jnp.float32(1.2),
+                    min_gen_frames=min_gen, anti_loop=anti_loop,
+                )
+                max_steps = carry.tokens.shape[1]
+                carry = M.ar_generate_chunk(
+                    params, self.cfg, carry, cond, kv, settings, cf
+                )
+                valid = jnp.minimum(carry.first_eos, carry.t)[0]
+
+                cond_pad = jnp.concatenate(
+                    [jnp.zeros((1, w, cond.shape[-1]), cond.dtype), cond], axis=1
+                )
+                toks_pad = jnp.concatenate(
+                    [jnp.zeros((1, w), jnp.int32), carry.tokens], axis=1
+                )
+                start = emitted + cf
+                win = jax.lax.dynamic_slice_in_dim(cond_pad, start, w, axis=1)
+                rvq = jax.lax.dynamic_slice_in_dim(toks_pad, start, w, axis=1)
+                orig = (emitted + cf - w) + jnp.arange(w)
+                mask = ((orig >= 0) & (orig < valid))[None]
+                toks = M.nar_refine(params, self.cfg, win, rvq, mask=mask)
+                wav, mstate = mimi_decode_step(
+                    mp, self.mimi_cfg, toks[:, w - cf :], mstate
+                )
+                done = ~jnp.any(M.ar_row_active(carry, max_steps))
+                return wav, valid, done, carry, mstate
+            return f
+
+        fn = self._fn(
+            ("stream_step", cf, ctx, bool(anti_loop),
+             int(cond_ar.shape[1]), int(carry.tokens.shape[1])), build
+        )
+        return fn(
+            self.params, self.mimi_params, carry, kv, cond_ar, mstate,
+            jnp.int32(emitted), jnp.float32(top_p), jnp.float32(temperature),
+            jnp.int32(min_gen),
+        )
+
     def mimi_stream_init(self) -> MimiStreamState:
         return init_mimi_stream_state(self.mimi_cfg, batch=1)
 

@@ -180,6 +180,12 @@ def build_app():
 
     app = FastAPI(title="SoproTTS TPU API", version="1.5.0")
 
+    static_dir = os.path.join(os.path.dirname(__file__), "static")
+    if os.path.isdir(static_dir):
+        from fastapi.staticfiles import StaticFiles
+
+        app.mount("/static", StaticFiles(directory=static_dir), name="static")
+
     @app.get("/healthz")
     def healthz():
         return {"ok": True}

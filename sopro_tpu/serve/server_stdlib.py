@@ -128,17 +128,26 @@ class Handler(BaseHTTPRequestHandler):
                 "ticks": batcher.ticks,
                 "chunk_frames": batcher.cf,
             })
-        if self.path == "/":
-            static = os.path.join(
-                os.path.dirname(__file__), "static", "index.html"
-            )
-            if os.path.exists(static):
-                with open(static, "rb") as f:
-                    return self._bytes(200, f.read(), "text/html")
-            return self._bytes(
-                200, b"<h1>sopro-tpu</h1><p>POST /v1/audio/speech</p>",
-                "text/html",
-            )
+        if self.path == "/" or self.path.startswith("/static/"):
+            static_dir = os.path.join(os.path.dirname(__file__), "static")
+            rel = "index.html" if self.path == "/" else self.path[len("/static/"):]
+            target = os.path.realpath(os.path.join(static_dir, rel))
+            if target.startswith(os.path.realpath(static_dir) + os.sep) or (
+                rel == "index.html" and os.path.exists(target)
+            ):
+                if os.path.exists(target):
+                    ctype = (
+                        "text/html" if target.endswith(".html")
+                        else "text/javascript" if target.endswith(".js")
+                        else "application/octet-stream"
+                    )
+                    with open(target, "rb") as f:
+                        return self._bytes(200, f.read(), ctype)
+            if self.path == "/":
+                return self._bytes(
+                    200, b"<h1>sopro-tpu</h1><p>POST /v1/audio/speech</p>",
+                    "text/html",
+                )
         return self._json(404, {"detail": "not found"})
 
     def do_POST(self):

@@ -1,0 +1,200 @@
+// sopro-tpu demo client: SPRO framed-PCM streaming playback with TTFA.
+// Fresh minimal implementation of the reference demo's capabilities
+// (reference: demo/static/app.js — mic/file reference, stream parse, TTFA).
+
+const $ = (id) => document.getElementById(id);
+let refId = null;
+let refBlob = null;
+let abortCtl = null;
+
+function setStatus(msg) { $("status").textContent = msg; }
+function setStats(msg) { $("stats").textContent = msg; }
+
+// ---------- reference: file or mic ----------------------------------------
+
+$("refFile").addEventListener("change", (e) => {
+  refBlob = e.target.files[0] || null;
+  refId = null;
+  $("refStatus").textContent = refBlob ? `file: ${refBlob.name}` : "";
+});
+
+$("recBtn").addEventListener("click", async () => {
+  const stream = await navigator.mediaDevices.getUserMedia({ audio: true });
+  const rec = new MediaRecorder(stream);
+  const parts = [];
+  rec.ondataavailable = (e) => parts.push(e.data);
+  rec.onstop = () => {
+    refBlob = new Blob(parts, { type: rec.mimeType });
+    refId = null;
+    $("refStatus").textContent = "recorded clip ready";
+    stream.getTracks().forEach((t) => t.stop());
+  };
+  rec.start();
+  $("refStatus").textContent = "recording…";
+  setTimeout(() => rec.stop(), 6000);
+});
+
+$("cacheBtn").addEventListener("click", async () => {
+  if (!refBlob) { $("refStatus").textContent = "pick or record audio first"; return; }
+  const fd = new FormData();
+  fd.append("ref_audio", refBlob, refBlob.name || "ref.webm");
+  const r = await fetch("/v1/reference/cache", { method: "POST", body: fd });
+  if (!r.ok) { $("refStatus").textContent = `cache failed: ${r.status}`; return; }
+  const j = await r.json();
+  refId = j.ref_id;
+  $("refStatus").textContent = `cached ${refId.slice(0, 12)}… (${j.ref_seconds}s)`;
+});
+
+// ---------- PCM playback ---------------------------------------------------
+
+class PCMPlayer {
+  constructor(sampleRate) {
+    this.ctx = new AudioContext();
+    this.srcRate = sampleRate;
+    this.nextTime = 0;
+  }
+  push(int16) {
+    // linear resample source rate -> context rate
+    const ratio = this.ctx.sampleRate / this.srcRate;
+    const outLen = Math.floor(int16.length * ratio);
+    const buf = this.ctx.createBuffer(1, Math.max(outLen, 1), this.ctx.sampleRate);
+    const ch = buf.getChannelData(0);
+    for (let i = 0; i < outLen; i++) {
+      const pos = i / ratio;
+      const i0 = Math.floor(pos), i1 = Math.min(i0 + 1, int16.length - 1);
+      const frac = pos - i0;
+      ch[i] = ((1 - frac) * int16[i0] + frac * int16[i1]) / 32768;
+    }
+    const src = this.ctx.createBufferSource();
+    src.buffer = buf;
+    src.connect(this.ctx.destination);
+    const t = Math.max(this.nextTime, this.ctx.currentTime + 0.02);
+    src.start(t);
+    this.nextTime = t + buf.duration;
+  }
+  close() { this.ctx.close(); }
+}
+
+// ---------- SPRO stream parsing -------------------------------------------
+
+function concatBytes(a, b) {
+  const out = new Uint8Array(a.length + b.length);
+  out.set(a, 0); out.set(b, a.length);
+  return out;
+}
+
+async function speakStream() {
+  const fd = buildForm(true);
+  if (!fd) return;
+  abortCtl = new AbortController();
+  $("stopBtn").disabled = false;
+  $("speakBtn").disabled = true;
+  const t0 = performance.now();
+  let ttfa = null, samples = 0, player = null, sr = 24000;
+  const allPcm = [];
+  setStatus("requesting…");
+  try {
+    const r = await fetch("/v1/audio/speech", {
+      method: "POST", body: fd, signal: abortCtl.signal,
+    });
+    if (!r.ok) { setStatus(`error ${r.status}: ${await r.text()}`); return; }
+    const reader = r.body.getReader();
+    let buf = new Uint8Array(0);
+    let gotHeader = false;
+    for (;;) {
+      const { value, done } = await reader.read();
+      if (done) break;
+      buf = concatBytes(buf, value);
+      if (!gotHeader && buf.length >= 12) {
+        const magic = new TextDecoder().decode(buf.slice(0, 4));
+        if (magic !== "SPRO") { setStatus("bad stream magic"); return; }
+        const dv = new DataView(buf.buffer, buf.byteOffset + 4, 8);
+        sr = dv.getUint32(0, true);
+        player = new PCMPlayer(sr);
+        buf = buf.slice(12);
+        gotHeader = true;
+      }
+      while (gotHeader && buf.length >= 4) {
+        const n = new DataView(buf.buffer, buf.byteOffset, 4).getUint32(0, true);
+        if (buf.length < 4 + n) break;
+        const payload = buf.slice(4, 4 + n);
+        buf = buf.slice(4 + n);
+        const pcm = new Int16Array(payload.buffer, payload.byteOffset, n >> 1);
+        if (ttfa === null) {
+          ttfa = performance.now() - t0;
+          setStats(`TTFA ${ttfa.toFixed(0)} ms`);
+        }
+        samples += pcm.length;
+        allPcm.push(pcm.slice());
+        player.push(pcm);
+        setStatus(`streaming… ${(samples / sr).toFixed(1)}s`);
+      }
+    }
+    const wall = (performance.now() - t0) / 1000;
+    setStatus(`done: ${(samples / sr).toFixed(1)}s audio`);
+    setStats(`TTFA ${ttfa ? ttfa.toFixed(0) : "-"} ms · wall ${wall.toFixed(2)}s · RTF ${(wall / (samples / sr)).toFixed(3)}`);
+    offerDownload(allPcm, sr);
+  } catch (e) {
+    if (e.name !== "AbortError") setStatus(`failed: ${e}`);
+    else setStatus("stopped");
+  } finally {
+    $("stopBtn").disabled = true;
+    $("speakBtn").disabled = false;
+  }
+}
+
+async function speakWav() {
+  const fd = buildForm(false);
+  if (!fd) return;
+  setStatus("synthesizing…");
+  const t0 = performance.now();
+  const r = await fetch("/v1/audio/speech", { method: "POST", body: fd });
+  if (!r.ok) { setStatus(`error ${r.status}: ${await r.text()}`); return; }
+  const blob = await r.blob();
+  const wall = (performance.now() - t0) / 1000;
+  const url = URL.createObjectURL(blob);
+  const player = $("player");
+  player.src = url;
+  player.style.display = "block";
+  player.play();
+  setStatus(`wav ready (${(blob.size / 1024).toFixed(0)} KiB)`);
+  setStats(`wall ${wall.toFixed(2)}s`);
+}
+
+function buildForm(stream) {
+  const text = $("text").value.trim();
+  if (!text) { setStatus("enter text"); return null; }
+  const fd = new FormData();
+  fd.append("input", text);
+  fd.append("stream", stream ? "true" : "false");
+  fd.append("top_p", $("topP").value);
+  fd.append("temperature", $("temp").value);
+  fd.append("style_strength", $("style").value);
+  fd.append("max_frames", $("maxFrames").value);
+  if (refId) fd.append("ref_id", refId);
+  else if (refBlob) fd.append("ref_audio", refBlob, refBlob.name || "ref.webm");
+  else { setStatus("cache or attach a reference first"); return null; }
+  return fd;
+}
+
+function offerDownload(pcmChunks, sr) {
+  let total = 0;
+  pcmChunks.forEach((c) => (total += c.length));
+  const wavBuf = new ArrayBuffer(44 + total * 2);
+  const dv = new DataView(wavBuf);
+  const writeStr = (off, s) => { for (let i = 0; i < s.length; i++) dv.setUint8(off + i, s.charCodeAt(i)); };
+  writeStr(0, "RIFF"); dv.setUint32(4, 36 + total * 2, true); writeStr(8, "WAVE");
+  writeStr(12, "fmt "); dv.setUint32(16, 16, true); dv.setUint16(20, 1, true);
+  dv.setUint16(22, 1, true); dv.setUint32(24, sr, true);
+  dv.setUint32(28, sr * 2, true); dv.setUint16(32, 2, true); dv.setUint16(34, 16, true);
+  writeStr(36, "data"); dv.setUint32(40, total * 2, true);
+  let off = 44;
+  pcmChunks.forEach((c) => { for (let i = 0; i < c.length; i++, off += 2) dv.setInt16(off, c[i], true); });
+  const player = $("player");
+  player.src = URL.createObjectURL(new Blob([wavBuf], { type: "audio/wav" }));
+  player.style.display = "block";
+}
+
+$("speakBtn").addEventListener("click", speakStream);
+$("wavBtn").addEventListener("click", speakWav);
+$("stopBtn").addEventListener("click", () => abortCtl && abortCtl.abort());

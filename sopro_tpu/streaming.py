@@ -69,15 +69,6 @@ class SoproTTSStreamer:
                 ref_seconds=ref_seconds,
             )
 
-        ids = tts.encode_text(text)
-        prep = eng.prepare_conditioning(
-            ids, ref, max_frames=max_frames,
-            style_strength=float(
-                style_strength if style_strength is not None
-                else tts.cfg.style_strength
-            ),
-        )
-
         cf = int(chunk_frames if chunk_frames is not None else self.cfg.chunk_frames)
         nar_ctx = (
             nar_context_frames
@@ -86,41 +77,43 @@ class SoproTTSStreamer:
         )
         if nar_ctx is None:
             nar_ctx = int(tts.cfg.rf_nar())
-        window = cf + int(nar_ctx)
+        style = float(
+            style_strength if style_strength is not None
+            else tts.cfg.style_strength
+        )
+        min_gen = int(min_gen_frames or tts.cfg.min_gen_frames)
+        hop = eng.mimi_cfg.hop_length
 
-        carry, kv = eng.ar_start(prep, max_frames=max_frames, seed=seed)
-        mimi_state = eng.mimi_stream_init()
-        emitted = 0
-        max_steps = max_frames + 1
+        # first chunk: one fused dispatch (conditioning + KV + AR + NAR +
+        # vocoder) — the TTFA-critical path
+        wav, valid, done, carry, kv, cond_ar, mstate = eng.stream_start_fused(
+            tts.encode_text(text), ref,
+            max_frames=max_frames, chunk=cf, style_strength=style,
+            seed=seed, top_p=top_p, temperature=temperature,
+            anti_loop=anti_loop, min_gen=min_gen,
+        )
+        emitted = int(valid)
+        done = bool(done)
+        if emitted > 0:
+            out = np.asarray(wav[:, : emitted * hop])
+            self.last_ttfa_s = time.perf_counter() - t_start
+            yield out
 
-        while True:
-            carry = eng.ar_chunk(
-                carry, kv, prep["cond_ar"], n_steps=cf, top_p=top_p,
-                temperature=temperature, anti_loop=anti_loop,
-                min_gen_frames=min_gen_frames,
+        # steady state: one fused dispatch per chunk
+        while not done:
+            wav, valid, done, carry, mstate = eng.stream_step_fused(
+                carry, kv, cond_ar, mstate, emitted,
+                chunk=cf, nar_ctx=int(nar_ctx), top_p=top_p,
+                temperature=temperature, anti_loop=anti_loop, min_gen=min_gen,
             )
-            t_done = int(carry.t[0])
-            first_eos = int(carry.first_eos[0])
-            # EOS never enters the emitted sequence; any EOS ends the stream
-            # (reference: src/sopro/streaming.py:113-115)
-            valid_t = min(first_eos, t_done)
-            done = (first_eos < t_done) or (t_done >= max_steps)
-
-            n_new = valid_t - emitted
-            if n_new > 0 and (done or valid_t % cf == 0 or n_new >= cf):
-                tokens_win = eng.nar_window_dyn(
-                    prep["cond_ar"], carry.tokens, valid_t,
-                    window=window, n_new=n_new, nar_ctx=int(nar_ctx),
-                )
-                emit = tokens_win[window - n_new :]
-                wav, mimi_state = eng.mimi_stream_step(emit, mimi_state)
-                emitted = valid_t
+            done = bool(done)
+            n_new = int(valid) - emitted
+            if n_new > 0:
+                out = np.asarray(wav[:, : n_new * hop])
+                emitted = int(valid)
                 if self.last_ttfa_s is None:
                     self.last_ttfa_s = time.perf_counter() - t_start
-                yield wav[None]  # [1, S] chunks, like the reference
-
-            if done:
-                break
+                yield out
 
 
 def stream(

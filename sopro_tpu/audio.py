@@ -103,20 +103,22 @@ def save_audio(path: str, wav: np.ndarray, sr: int = 24000) -> None:
 
 
 def pcm16(wav: np.ndarray) -> np.ndarray:
-    """float [-1, 1] -> int16 with clipping."""
-    return np.round(np.clip(np.asarray(wav), -1.0, 1.0) * 32767.0).astype(np.int16)
+    """float [-1, 1] -> int16 with clipping (native fast path when built)."""
+    from sopro_tpu import native
+
+    return native.f32_to_pcm16(np.asarray(wav))
 
 
 def resample(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     """Polyphase resampling (reference uses torchaudio's kaiser resampler,
-    src/sopro/audio.py:108-117; scipy's resample_poly is the same family)."""
+    src/sopro/audio.py:108-117; same kaiser-windowed filter family here,
+    native C++ when built, scipy fallback)."""
     if sr_in == sr_out:
         return np.asarray(wav, np.float32)
-    from scipy.signal import resample_poly
+    from sopro_tpu import native
 
     g = math.gcd(int(sr_in), int(sr_out))
-    up, down = sr_out // g, sr_in // g
-    return resample_poly(np.asarray(wav, np.float64), up, down).astype(np.float32)
+    return native.resample_poly(np.asarray(wav), sr_out // g, sr_in // g)
 
 
 def trim_silence_energy(

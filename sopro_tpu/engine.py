@@ -174,6 +174,62 @@ class Engine:
         cut = min(int(first_eos[0]), t_total)
         return np.asarray(tokens[0, :cut]), cut
 
+    def ar_generate_device(self, prep, **kwargs):
+        """Like ar_generate but keeps the token buffer on device (only the
+        length scalars sync) — feeds nar_decode_fused without a host hop."""
+        min_gen = int(kwargs.pop("min_gen_frames", None) or self.cfg.min_gen_frames)
+        max_frames = int(kwargs["max_frames"])
+        anti_loop = bool(kwargs["anti_loop"])
+
+        def build():
+            def f(params, cond, txt_seq, text_mask, key, top_p, temp, min_gen):
+                settings = M.ARSettings(
+                    top_p=top_p, temperature=temp,
+                    recovery_top_p=jnp.float32(0.85),
+                    recovery_temp=jnp.float32(1.2),
+                    min_gen_frames=min_gen, anti_loop=anti_loop,
+                )
+                carry = M.ar_generate(
+                    params, self.cfg, cond, txt_seq, text_mask, key,
+                    settings, max_frames + 1,
+                )
+                return carry.tokens, carry.first_eos, carry.t
+            return f
+
+        lb = prep["txt_seq"].shape[1]
+        fn = self._fn(("ar", lb, max_frames, anti_loop), build)
+        tokens, first_eos, t = fn(
+            self.params, prep["cond_ar"], prep["txt_seq"], prep["text_mask"],
+            jax.random.PRNGKey(int(kwargs["seed"])),
+            jnp.float32(kwargs["top_p"]), jnp.float32(kwargs["temperature"]),
+            jnp.int32(min_gen),
+        )
+        cut = min(int(first_eos[0]), int(t[0]))
+        return tokens, cut
+
+    def nar_decode_fused(self, cond_ar, tokens_dev, t: int) -> np.ndarray:
+        """NAR refinement + full Mimi decode in ONE dispatch over a frame
+        bucket; returns wav [1, t*hop]. The 4 NAR stages and the vocoder fuse
+        on device, and only the final waveform crosses the host boundary."""
+        tb = min(self._frame_bucket(t), cond_ar.shape[1])
+
+        def build():
+            def f(params, mp, cond, tokens, t):
+                mask = (jnp.arange(tb)[None] < t)
+                toks_q = M.nar_refine(
+                    params, self.cfg, cond[:, :tb], tokens[:, :tb], mask=mask
+                )
+                return mimi_decode(mp, self.mimi_cfg, toks_q)
+            return f
+
+        fn = self._fn(
+            ("nar_dec", tb, int(cond_ar.shape[1]), int(tokens_dev.shape[1])),
+            build,
+        )
+        wav = fn(self.params, self.mimi_params, cond_ar, tokens_dev,
+                 jnp.int32(t))
+        return np.asarray(wav[:, : t * self.mimi_cfg.hop_length])
+
     # -- NAR + vocoder -----------------------------------------------------
 
     def _frame_bucket(self, t: int) -> int:

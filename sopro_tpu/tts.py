@@ -241,15 +241,24 @@ class SoproTTS:
                 ref_tokens_tq=ref_tokens_tq,
                 ref_seconds=ref_seconds,
             )
-        tokens = self.generate_tokens(
-            text, ref, max_frames=max_frames, top_p=top_p,
-            temperature=temperature, anti_loop=anti_loop,
-            style_strength=style_strength, min_gen_frames=min_gen_frames,
-            seed=seed,
+        # fused fast path: AR (tokens stay on device) -> one NAR+vocoder
+        # dispatch -> single waveform readback
+        ids = self.encode_text(text)
+        prep = self.engine.prepare_conditioning(
+            ids, ref, max_frames=max_frames,
+            style_strength=float(
+                style_strength if style_strength is not None
+                else self.cfg.style_strength
+            ),
         )
-        if tokens.shape[0] == 0:
+        tokens_dev, t = self.engine.ar_generate_device(
+            prep, max_frames=max_frames, seed=seed, top_p=top_p,
+            temperature=temperature, anti_loop=anti_loop,
+            min_gen_frames=min_gen_frames,
+        )
+        if t <= 0:
             return np.zeros((1, 0), np.float32)
-        return self.engine.decode(tokens)
+        return self.engine.nar_decode_fused(prep["cond_ar"], tokens_dev, t)
 
     def stream(self, text: str, **kwargs) -> Iterator[np.ndarray]:
         """Chunked synthesis (reference: src/sopro/model.py:577-580 ->

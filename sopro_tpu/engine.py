@@ -43,6 +43,17 @@ def _pad_axis(x: np.ndarray, axis: int, to: int) -> np.ndarray:
     return np.pad(x, pad)
 
 
+def _cast_floats(dtype):
+    """Cast float leaves of a param pytree (bf16 compute policy; norms,
+    attention softmax and sampling still run their fp32 islands internally)."""
+    def cast(tree):
+        def leaf(x):
+            x = jnp.asarray(x)
+            return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+        return jax.tree.map(leaf, tree)
+    return cast
+
+
 class Engine:
     """Owns device params and the jit cache. Batch size 1 on the public
     paths (reference parity); the underlying model functions are batched and
@@ -59,8 +70,15 @@ class Engine:
         self.cfg = cfg
         self.mimi_cfg = mimi_cfg
         self.rt = runtime or RuntimeConfig()
+        if self.rt.compute_dtype == "bfloat16":
+            cast = _cast_floats(jnp.bfloat16)
+            params = cast(params)
+            mimi_params = cast(mimi_params) if mimi_params else None
         self.params = jax.device_put(params)
         self.mimi_params = jax.device_put(mimi_params) if mimi_params else None
+        self.dtype = (
+            jnp.bfloat16 if self.rt.compute_dtype == "bfloat16" else jnp.float32
+        )
         self._fns: Dict[Tuple, Any] = {}
 
     # -- jit cache ---------------------------------------------------------
@@ -288,7 +306,8 @@ class Engine:
         ))
         kv = fn(self.params, prep["txt_seq"], prep["text_mask"])
         carry = M.init_ar_carry(
-            self.cfg, 1, max_frames + 1, jax.random.PRNGKey(seed)
+            self.cfg, 1, max_frames + 1, jax.random.PRNGKey(seed),
+            dtype=self.dtype,
         )
         return carry, kv
 
@@ -407,7 +426,7 @@ class Engine:
                     recovery_temp=jnp.float32(1.2),
                     min_gen_frames=min_gen, anti_loop=anti_loop,
                 )
-                carry = M.init_ar_carry(self.cfg, 1, max_frames + 1, key)
+                carry = M.init_ar_carry(self.cfg, 1, max_frames + 1, key, dtype=self.dtype)
                 carry = M.ar_generate_chunk(
                     params, self.cfg, carry, prep["cond_ar"], kv, settings, cf
                 )
@@ -420,7 +439,7 @@ class Engine:
                 )
                 wav, mstate = mimi_decode_step(
                     mp, self.mimi_cfg, toks,
-                    init_mimi_stream_state(self.mimi_cfg, 1),
+                    init_mimi_stream_state(self.mimi_cfg, 1, dtype=self.dtype),
                 )
                 done = ~jnp.any(M.ar_row_active(carry, max_frames + 1))
                 return wav, valid[0], done, carry, kv, prep["cond_ar"], mstate
@@ -504,7 +523,7 @@ class Engine:
         )
 
     def mimi_stream_init(self) -> MimiStreamState:
-        return init_mimi_stream_state(self.mimi_cfg, batch=1)
+        return init_mimi_stream_state(self.mimi_cfg, batch=1, dtype=self.dtype)
 
     def mimi_stream_step(
         self, codes_tq: np.ndarray, state: MimiStreamState

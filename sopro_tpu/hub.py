@@ -205,6 +205,107 @@ def sopro_params_from_flat(sd: SD, cfg: SoproTTSConfig) -> Dict[str, Any]:
     }
 
 
+def sopro_params_to_flat(params: Dict[str, Any], cfg: SoproTTSConfig) -> SD:
+    """Inverse of sopro_params_from_flat: sopro_tpu pytree -> reference-named
+    torch-layout flat dict, so checkpoints trained here load in the reference
+    implementation too."""
+    out: SD = {}
+
+    def lin(name, p):
+        out[f"{name}.weight"] = np.ascontiguousarray(np.asarray(p["w"]).T)
+        if "b" in p:
+            out[f"{name}.bias"] = np.asarray(p["b"])
+
+    def rms(name, p):
+        out[f"{name}.weight"] = np.asarray(p["scale"])
+
+    def ln(name, p):
+        out[f"{name}.weight"] = np.asarray(p["scale"])
+        out[f"{name}.bias"] = np.asarray(p["bias"])
+
+    def dw(name, p):
+        out[f"{name}.weight"] = np.ascontiguousarray(
+            np.transpose(np.asarray(p["w"]), (2, 1, 0))
+        )
+        if "b" in p:
+            out[f"{name}.bias"] = np.asarray(p["b"])
+
+    def emb(name, p):
+        out[f"{name}.weight"] = np.asarray(p["emb"])
+
+    def ssm(name, p):
+        rms(f"{name}.norm", p["norm"])
+        lin(f"{name}.glu.pro", p["glu"]["pro"])
+        dw(f"{name}.dw.dw", p["dw"])
+        rms(f"{name}.ff.0", p["ff_norm"])
+        lin(f"{name}.ff.1", p["ff1"])
+        lin(f"{name}.ff.3", p["ff2"])
+
+    def xattn(name, p):
+        rms(f"{name}.nq", p["nq"])
+        rms(f"{name}.nkv", p["nkv"])
+        lin(f"{name}.q_proj", p["q"])
+        lin(f"{name}.k_proj", p["k"])
+        lin(f"{name}.v_proj", p["v"])
+        lin(f"{name}.out_proj", p["out"])
+        out[f"{name}.gate"] = np.asarray(p["gate"])
+
+    out["nar_prev_cb_weights"] = np.asarray(params["nar_prev_cb_weights"])
+    out["ref_cb_weights"] = np.asarray(params["ref_cb_weights"])
+    emb("text_enc.embed.emb", params["text_enc"]["embed"])
+    for i, bp in enumerate(params["text_enc"]["layers"]):
+        ssm(f"text_enc.layers.{i}", bp)
+    rms("text_enc.norm", params["text_enc"]["norm"])
+    emb("cb_embed.emb", params["cb_embed"])
+    t2 = params["token2sv"]
+    out["token2sv.cb_weights"] = np.asarray(t2["cb_weights"])
+    emb("token2sv.emb", t2["emb"])
+    dw("token2sv.enc.0.dw", t2["conv1"])
+    dw("token2sv.enc.3.dw", t2["conv2"])
+    lin("token2sv.pool.attn.0", t2["pool"]["a1"])
+    lin("token2sv.pool.attn.2", t2["pool"]["a2"])
+    lin("token2sv.proj", t2["proj"])
+    lin("spk_film.mlp.0", params["spk_film"]["mlp1"])
+    lin("spk_film.mlp.2", params["spk_film"]["mlp2"])
+    ln("spk_film.norm", params["spk_film"]["norm"])
+    for i, bp in enumerate(params["ar"]["blocks"]):
+        ssm(f"ar.blocks.{i}", bp)
+    for i, xp in enumerate(params["ar"]["xattn"]):
+        if xp is not None:
+            xattn(f"ar.x_attns.{i}", xp)
+    rms("ar.norm", params["ar"]["norm"])
+    lin("ar.head", params["ar"]["head"])
+    nar = params["nar"]
+    for i, bp in enumerate(nar["blocks"]):
+        ssm(f"nar.blocks.{i}", bp)
+    rms("nar.norm", nar["norm"])
+    lin("nar.pre", nar["pre"])
+    emb("nar.stage_emb", nar["stage_emb"])
+    rms("nar.adapter.norm", nar["adapter"]["norm"])
+    lin("nar.adapter.mlp.0", nar["adapter"]["mlp1"])
+    lin("nar.adapter.mlp.2", nar["adapter"]["mlp2"])
+    for s in cfg.stage_order():
+        for i, hp in enumerate(nar["heads"][s]):
+            lin(f"nar.heads.{s}.{i}", hp)
+        emb(f"nar.head_id_emb.{s}", nar["head_id_emb"][s])
+        out[f"nar.mix.{s}"] = np.asarray(nar["mix"][s])
+    rms("cond_norm", params["cond_norm"])
+    for i, bp in enumerate(params["ref_enc_blocks"]):
+        ssm(f"ref_enc_blocks.{i}", bp)
+    rms("ref_enc_norm", params["ref_enc_norm"])
+    for i, xp in enumerate(params["ref_xattn"]):
+        xattn(f"ref_xattn.blocks.{i}", xp)
+    return out
+
+
+def save_sopro_checkpoint(path: str, params: Dict[str, Any], cfg: SoproTTSConfig):
+    """Write a reference-compatible model.safetensors with the cfg embedded
+    as JSON metadata (the checkpoint contract, reference: src/sopro/hub.py)."""
+    flat = sopro_params_to_flat(params, cfg)
+    flat = {k: np.asarray(v, np.float32) for k, v in flat.items()}
+    write_safetensors(path, flat, metadata={"cfg": json.dumps(cfg.to_dict())})
+
+
 def load_sopro_checkpoint(path: str):
     """model.safetensors -> (cfg, params pytree)."""
     cfg = load_cfg_from_safetensors(path)

@@ -96,11 +96,11 @@ class ContinuousBatcher:
 
         cfgm = self.cfg
         b, s, d = self.B, self.S, cfgm.d_model
-        self.carry = M.init_ar_carry(cfgm, b, s, jax.random.PRNGKey(0))
+        self.carry = M.init_ar_carry(cfgm, b, s, jax.random.PRNGKey(0), dtype=self.eng.dtype)
         # stopped=True marks a free slot: frozen by the per-row masking
         self.carry = self.carry._replace(stopped=jnp.ones((b,), bool))
-        self.cond = jnp.zeros((b, s, d), jnp.float32)
-        zero_txt = jnp.zeros((b, self.L, d), jnp.float32)
+        self.cond = jnp.zeros((b, s, d), self.eng.dtype)
+        zero_txt = jnp.zeros((b, self.L, d), self.eng.dtype)
         self.txt_kv = G.build_text_kv_caches(
             self.eng.params["ar"], cfgm, zero_txt, jnp.zeros((b, self.L), bool)
         )
@@ -108,7 +108,7 @@ class ContinuousBatcher:
         self.row_temp = jnp.full((b,), 1.05, jnp.float32)
         self.row_min_gen = jnp.full((b,), cfgm.min_gen_frames, jnp.int32)
         self.row_max_frames = jnp.full((b,), self.max_frames_cap, jnp.int32)
-        self.mimi_state = init_mimi_stream_state(self.eng.mimi_cfg, b)
+        self.mimi_state = init_mimi_stream_state(self.eng.mimi_cfg, b, dtype=self.eng.dtype)
 
         self._slots: List[Optional[_Slot]] = [None] * b
         self._waiting: "queue.Queue" = queue.Queue()

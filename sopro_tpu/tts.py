@@ -269,3 +269,15 @@ class SoproTTS:
 
     def save_wav(self, path: str, wav: np.ndarray) -> None:
         A.save_audio(path, wav, sr=TARGET_SR)
+
+    def save_pretrained(self, out_dir: str) -> str:
+        """Write a reference-compatible `model.safetensors` (config embedded
+        as safetensors metadata) — checkpoints trained with sopro_tpu.train
+        load in both this framework and the reference implementation."""
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, "model.safetensors")
+        H.save_sopro_checkpoint(path, self.engine.params, self.cfg)
+        tok = getattr(self.tokenizer, "tok", None)
+        if tok is not None and hasattr(tok, "save_pretrained"):
+            tok.save_pretrained(out_dir)
+        return path

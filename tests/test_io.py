@@ -46,6 +46,42 @@ def test_sopro_checkpoint_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_save_checkpoint_loads_in_reference(tmp_path):
+    """Checkpoints written by our trainer load into the reference torch model
+    with strict=True — full round-trip interoperability."""
+    TR.import_ref()
+    import torch
+    from sopro.config import SoproTTSConfig as RefCfg
+    from sopro.hub import load_cfg_from_safetensors as ref_load_cfg
+    from sopro.model import SoproTTSModel
+
+    torch.manual_seed(13)
+    rcfg = RefCfg(**CFG)
+    m = SoproTTSModel(rcfg, _FakeTok()).eval()
+    params = TR.conv_sopro_model(m)
+    cfg = SoproTTSConfig(**CFG)
+
+    path = str(tmp_path / "model.safetensors")
+    H.save_sopro_checkpoint(path, params, cfg)
+
+    # reference-side: cfg parses, state dict loads strictly and matches
+    assert ref_load_cfg(path).d_model == CFG["d_model"]
+    from safetensors.torch import load_file
+
+    m2 = SoproTTSModel(rcfg, _FakeTok())
+    missing_unexpected = m2.load_state_dict(load_file(path), strict=True)
+    state = m.state_dict()
+    for k, v in m2.state_dict().items():
+        np.testing.assert_array_equal(v.numpy(), state[k].numpy())
+
+    # our-side roundtrip is identical too
+    cfg2, params2 = H.load_sopro_checkpoint(path)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(params2), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_metadata_reader(tmp_path):
     H.write_safetensors(
         str(tmp_path / "m.safetensors"),

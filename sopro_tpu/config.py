@@ -146,6 +146,8 @@ class RuntimeConfig:
     nar_pad_multiple: int = 64
     # AR scan chunk size for streaming-mode decode.
     ar_chunk: int = 8
+    # Fused Pallas kernel for the AR decode step (TPU backends).
+    use_pallas_ar: bool = False
 
 
 def pick_bucket(n: int, buckets: Tuple[int, ...]) -> int:

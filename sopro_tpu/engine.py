@@ -146,6 +146,22 @@ class Engine:
         return fn(self.params, jnp.asarray(ids), jnp.asarray(mask), ref,
                   jnp.float32(style_strength))
 
+
+    def _ar_kv(self, params, txt_seq, text_mask):
+        """Text KV in the form the AR step implementation expects: a
+        PallasARContext (fused kernel) or per-layer dict caches (XLA)."""
+        kvs = G.build_text_kv_caches(params["ar"], self.cfg, txt_seq, text_mask)
+        if not self.rt.use_pallas_ar:
+            return kvs
+        from sopro_tpu.ops.pallas_ar import PallasARContext, stack_ar_params
+
+        return PallasARContext(
+            stacked=stack_ar_params(params["ar"], self.cfg),
+            kv_k=jnp.stack([kv["k"] for kv in kvs if kv is not None]),
+            kv_v=jnp.stack([kv["v"] for kv in kvs if kv is not None]),
+            mask=text_mask,
+        )
+
     # -- AR decode ---------------------------------------------------------
 
     def ar_generate(
@@ -177,6 +193,7 @@ class Engine:
                 carry = M.ar_generate(
                     params, self.cfg, cond, txt_seq, text_mask, key,
                     settings, max_frames + 1,
+                    kv_caches=self._ar_kv(params, txt_seq, text_mask),
                 )
                 return carry.tokens, carry.first_eos, carry.t
             return f
@@ -210,6 +227,7 @@ class Engine:
                 carry = M.ar_generate(
                     params, self.cfg, cond, txt_seq, text_mask, key,
                     settings, max_frames + 1,
+                    kv_caches=self._ar_kv(params, txt_seq, text_mask),
                 )
                 return carry.tokens, carry.first_eos, carry.t
             return f
@@ -300,16 +318,14 @@ class Engine:
         """Init AR carry + text KV caches (device-resident across chunks)."""
         lb = prep["txt_seq"].shape[1]
         fn = self._fn(("ar_kv", lb), lambda: (
-            lambda p, txt_seq, mask: G.build_text_kv_caches(
-                p["ar"], self.cfg, txt_seq, mask
-            )
+            lambda p, txt_seq, mask: self._ar_kv(p, txt_seq, mask)
         ))
         kv = fn(self.params, prep["txt_seq"], prep["text_mask"])
         carry = M.init_ar_carry(
             self.cfg, 1, max_frames + 1, jax.random.PRNGKey(seed),
             dtype=self.dtype,
         )
-        return carry, kv
+        return M.maybe_pack_carry(carry, kv), kv
 
     def ar_chunk(
         self,
@@ -417,9 +433,7 @@ class Engine:
                     params, self.cfg, ids, mask, ref,
                     max_frames=max_frames, style_strength=strength,
                 )
-                kv = G.build_text_kv_caches(
-                    params["ar"], self.cfg, prep["txt_seq"], mask
-                )
+                kv = self._ar_kv(params, prep["txt_seq"], mask)
                 settings = M.ARSettings(
                     top_p=top_p, temperature=temp,
                     recovery_top_p=jnp.float32(0.85),
@@ -427,6 +441,7 @@ class Engine:
                     min_gen_frames=min_gen, anti_loop=anti_loop,
                 )
                 carry = M.init_ar_carry(self.cfg, 1, max_frames + 1, key, dtype=self.dtype)
+                carry = M.maybe_pack_carry(carry, kv)
                 carry = M.ar_generate_chunk(
                     params, self.cfg, carry, prep["cond_ar"], kv, settings, cf
                 )

@@ -237,6 +237,16 @@ def ar_row_active(carry: ARCarry, max_steps: int) -> jnp.ndarray:
     return (carry.t < max_steps) & ~carry.stopped
 
 
+def maybe_pack_carry(carry: ARCarry, kv_caches) -> ARCarry:
+    """Pack the per-block conv buffers into the fused kernel's single padded
+    buffer when running with a PallasARContext."""
+    from sopro_tpu.ops.pallas_ar import PallasARContext, pack_conv_state
+
+    if isinstance(kv_caches, PallasARContext) and len(carry.conv_state) > 1:
+        return carry._replace(conv_state=[pack_conv_state(carry.conv_state)])
+    return carry
+
+
 def ar_single_step(
     p: SoproModelParams,
     cfg: SoproTTSConfig,
@@ -271,7 +281,19 @@ def ar_single_step(
         enabled=settings.anti_loop,
     )
 
-    logits, conv_state = G.ar_step(p["ar"], cfg, x_t, carry.conv_state, kv_caches)
+    from sopro_tpu.ops.pallas_ar import PallasARContext, ar_step_pallas
+
+    if isinstance(kv_caches, PallasARContext):
+        # fused Pallas step: conv state is one packed [N, B, CTX, D] buffer
+        logits, packed = ar_step_pallas(
+            kv_caches.stacked, cfg, x_t, carry.conv_state[0],
+            kv_caches.kv_k, kv_caches.kv_v, kv_caches.mask,
+        )
+        conv_state = [packed]
+    else:
+        logits, conv_state = G.ar_step(
+            p["ar"], cfg, x_t, carry.conv_state, kv_caches
+        )
 
     splits = jax.vmap(jax.random.split)(carry.key)  # [B, 2, 2]
     key, sub = splits[:, 0], splits[:, 1]
@@ -321,11 +343,15 @@ def ar_generate(
     key: jax.Array,
     settings: ARSettings,
     max_steps: int,
+    kv_caches=None,
 ) -> ARCarry:
     """Full AR decode as one on-device while_loop with EOS early exit
-    (reference: src/sopro/model.py:218-305)."""
-    kv_caches = G.build_text_kv_caches(p["ar"], cfg, txt_seq, text_mask)
+    (reference: src/sopro/model.py:218-305). Pass a PallasARContext as
+    `kv_caches` to run the fused-kernel step."""
+    if kv_caches is None:
+        kv_caches = G.build_text_kv_caches(p["ar"], cfg, txt_seq, text_mask)
     carry = init_ar_carry(cfg, cond_ar.shape[0], max_steps, key, cond_ar.dtype)
+    carry = maybe_pack_carry(carry, kv_caches)
 
     def cond_fn(c: ARCarry):
         return jnp.any(ar_row_active(c, max_steps))

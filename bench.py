@@ -73,7 +73,7 @@ def main() -> None:
     compile_s = time.perf_counter() - t0
 
     rtfs, frames_rates = [], []
-    for i in range(3):
+    for i in range(5):
         t0 = time.perf_counter()
         wav = synth(i + 1)
         dt = time.perf_counter() - t0

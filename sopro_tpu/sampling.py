@@ -42,21 +42,38 @@ def push_history(hist: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([hist[:, 1:], tok[:, None].astype(jnp.int32)], axis=1)
 
 
+def _cycle_gather_indices(h: int):
+    """Static index matrices for the vectorized cycle check: row r = cycle
+    length n = CYCLE_MIN_N + r; column j compares hist[H-1-j] with
+    hist[H-1-j-n] (entries beyond j < n are padded to compare a cell with
+    itself, i.e. always-equal)."""
+    import numpy as np
+
+    ns = np.arange(CYCLE_MIN_N, CYCLE_MAX_N + 1)
+    js = np.arange(CYCLE_MAX_N)
+    idx_a = h - 1 - js[None, :].repeat(len(ns), 0)
+    idx_b = idx_a - ns[:, None]
+    pad = js[None, :] >= ns[:, None]
+    idx_b = np.where(pad, idx_a, idx_b)
+    return idx_a, idx_b
+
+
 def repeated_tail(hist: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """True iff the last n tokens exactly repeat the previous n, for any
     n in [3, 16] with at least 2n tokens generated
     (reference: src/sopro/sampling.py:16-21). hist [B, H], t = tokens so far.
 
-    The reference caps n at len(hist)//2, i.e. requires t >= 2n.
-    """
-    flags = jnp.zeros((hist.shape[0],), bool)
+    Vectorized over all cycle lengths: two static gathers + one compare
+    instead of 14 per-length window comparisons (this check runs every AR
+    step inside the decode loop)."""
     h = hist.shape[1]
-    for n in range(CYCLE_MIN_N, CYCLE_MAX_N + 1):
-        a = hist[:, h - n :]
-        b = hist[:, h - 2 * n : h - n]
-        cond = jnp.all(a == b, axis=1) & (t >= 2 * n)
-        flags = flags | cond
-    return flags
+    idx_a, idx_b = _cycle_gather_indices(h)
+    a = jnp.take(hist, jnp.asarray(idx_a), axis=1)  # [B, 14, 16]
+    b = jnp.take(hist, jnp.asarray(idx_b), axis=1)
+    eq = jnp.all(a == b, axis=2)  # [B, 14]
+    ns = jnp.arange(CYCLE_MIN_N, CYCLE_MAX_N + 1)
+    ok = eq & (jnp.asarray(t).reshape(-1, 1) >= 2 * ns[None, :])
+    return jnp.any(ok, axis=1)
 
 
 def sample_token(
@@ -76,25 +93,32 @@ def sample_token(
     )
     x = x / temp
 
-    # repetition penalty over the set of the last-50 tokens; only valid
-    # (already generated) history entries participate
+    # Candidate-set restructuring (decode-loop hot path): the repetition
+    # penalty only ever *lowers* a logit, and at most HIST_LEN history tokens
+    # are penalized — so the penalized top-k is provably contained in the raw
+    # top-(k + HIST_LEN). Take those candidates with the TPU-native
+    # approx_max_k (exact at recall 1.0), penalize by membership against the
+    # history (a [B, k+H, H] compare instead of a [B, V] scatter), re-rank,
+    # and softmax only the k survivors (the full-vocab softmax cancels out of
+    # the reference's renormalization exactly).
+    k = min(int(settings.top_k), v)
+    n_cand = min(k + HIST_LEN, v)
+    cand_x, cand_i = jax.lax.approx_max_k(x, n_cand, recall_target=1.0)
+
     n_valid = jnp.minimum(jnp.broadcast_to(t, (b,)), HIST_LEN)  # [B]
     pos = jnp.arange(HIST_LEN)
     valid = pos[None, :] >= (HIST_LEN - n_valid)[:, None]  # [B, H]
-    ids = jnp.where(valid, hist, v)  # invalid -> out-of-range, dropped
-    present = jnp.zeros((b, v), bool)
-    present = present.at[jnp.arange(b)[:, None], ids].set(True, mode="drop")
+    ids = jnp.where(valid, hist, v)  # invalid -> out-of-range, never matches
+    member = jnp.any(cand_i[:, :, None] == ids[:, None, :], axis=-1)
     pen = settings.repetition_penalty
-    x = jnp.where(present, jnp.where(x < 0, x * pen, x / pen), x)
+    cand_x = jnp.where(
+        member, jnp.where(cand_x < 0, cand_x * pen, cand_x / pen), cand_x
+    )
 
-    probs = jax.nn.softmax(x, axis=-1)
-    probs = jnp.nan_to_num(probs, nan=0.0, posinf=0.0, neginf=0.0)
-
-    k = min(int(settings.top_k), v)
-    vals, idx = jax.lax.top_k(probs, k)  # sorted descending
-    mass = jnp.sum(vals, axis=-1, keepdims=True)
-    degenerate = mass[:, 0] <= EPS
-    vals = vals / jnp.maximum(mass, EPS)
+    vals_x, sel = jax.lax.top_k(cand_x, k)  # small: [B, k+H] -> [B, k]
+    idx = jnp.take_along_axis(cand_i, sel, axis=-1)
+    vals = jax.nn.softmax(vals_x, axis=-1)  # == renormalized full-softmax
+    degenerate = ~jnp.isfinite(vals_x[:, 0])
 
     # nucleus: drop entries once the cumulative prob of *previous* entries
     # exceeds top_p (the first entry always survives)

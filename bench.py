@@ -98,6 +98,31 @@ def main() -> None:
     ttfas = [run_stream(i + 1) * 1000.0 for i in range(5)]
     ttfa_ms = statistics.median(ttfas)
 
+    # ---- batched serving aggregate (BASELINE config 4) --------------------
+    serve_x = None
+    if os.environ.get("SOPRO_BENCH_SERVE", "1") != "0":
+        import threading
+
+        from sopro_tpu.serve.scheduler import ContinuousBatcher
+
+        batcher = ContinuousBatcher(tts, slots=8, chunk_frames=16)
+        batcher.start()
+        batcher.warmup(ref=ref)
+        done = {}
+
+        def client(i):
+            h = batcher.submit(text, ref, seed=i, max_frames=150)
+            done[i] = sum(c.shape[1] for c in h.chunks()) / sr
+
+        t0 = time.perf_counter()
+        ths = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join()
+        serve_x = sum(done.values()) / (time.perf_counter() - t0)
+        batcher.stop()
+
     backend = jax.devices()[0].platform
     base_rtf, base_ttfa = 0.05, 250.0
     result = {
@@ -111,6 +136,9 @@ def main() -> None:
             "ttfa_p50_ms": round(ttfa_ms, 1),
             "ttfa_vs_baseline_x": round(base_ttfa / ttfa_ms, 2),
             "ar_frames_per_s": round(frames_per_s, 1),
+            "serve8_aggregate_x_realtime": (
+                round(serve_x, 1) if serve_x else None
+            ),
             "audio_s_per_run": round(wav.shape[1] / sr, 2),
             "build_s": round(build_s, 1),
             "prepare_ref_s": round(prep_ref_s, 2),

@@ -12,6 +12,7 @@ Usage: python benchmarks/serve_bench.py [n_sessions] [slots] [chunk_frames]
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import threading
@@ -19,13 +20,13 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     n_sessions = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     slots = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     chunk_frames = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-
-    import os
 
     from sopro_tpu import RuntimeConfig, SoproTTS
     from sopro_tpu.profiling import enable_compilation_cache
@@ -47,7 +48,7 @@ def main() -> None:
         tts, slots=slots, chunk_frames=chunk_frames, max_frames=400
     )
     batcher.start()
-    batcher.warmup()
+    batcher.warmup(ref=ref)
 
     text = (
         "The quick brown fox jumps over the lazy dog while the curious cat "

@@ -175,38 +175,14 @@ class Engine:
         anti_loop: bool,
         min_gen_frames: Optional[int],
     ) -> Tuple[np.ndarray, int]:
-        """Full AR decode on device; returns (rvq1 tokens [T], T) with EOS
-        excluded, per reference truncation (src/sopro/model.py:385-396)."""
-        min_gen = int(min_gen_frames or self.cfg.min_gen_frames)
-
-        def build():
-            def f(params, cond, txt_seq, text_mask, key, top_p, temp, min_gen):
-                settings = M.ARSettings(
-                    top_p=top_p,
-                    temperature=temp,
-                    recovery_top_p=jnp.float32(0.85),
-                    recovery_temp=jnp.float32(1.2),
-                    min_gen_frames=min_gen,
-                    anti_loop=anti_loop,
-                )
-                # max_frames + 1 steps (reference: src/sopro/model.py:242)
-                carry = M.ar_generate(
-                    params, self.cfg, cond, txt_seq, text_mask, key,
-                    settings, max_frames + 1,
-                    kv_caches=self._ar_kv(params, txt_seq, text_mask),
-                )
-                return carry.tokens, carry.first_eos, carry.t
-            return f
-
-        lb = prep["txt_seq"].shape[1]
-        fn = self._fn(("ar", lb, int(max_frames), bool(anti_loop)), build)
-        tokens, first_eos, t = fn(
-            self.params, prep["cond_ar"], prep["txt_seq"], prep["text_mask"],
-            jax.random.PRNGKey(seed), jnp.float32(top_p),
-            jnp.float32(temperature), jnp.int32(min_gen),
+        """Full AR decode on device; returns (rvq1 tokens [T] on host, T)
+        with EOS excluded, per reference truncation
+        (src/sopro/model.py:385-396)."""
+        tokens, cut = self.ar_generate_device(
+            prep, max_frames=max_frames, seed=seed, top_p=top_p,
+            temperature=temperature, anti_loop=anti_loop,
+            min_gen_frames=min_gen_frames,
         )
-        t_total = int(t[0])
-        cut = min(int(first_eos[0]), t_total)
         return np.asarray(tokens[0, :cut]), cut
 
     def ar_generate_device(self, prep, **kwargs):

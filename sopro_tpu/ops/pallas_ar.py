@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +35,6 @@ Params = Dict[str, Any]
 
 TEXT_HEADS = 4  # reference text cross-attention head count
 
-
-from typing import NamedTuple
 
 
 class PallasARContext(NamedTuple):

@@ -233,11 +233,15 @@ class ContinuousBatcher:
             self._thread.join(timeout=30)
             self._thread = None
 
-    def warmup(self):
-        """Compile the tick/NAR/vocoder path before serving traffic."""
-        ref = self.eng.prepare_reference(
-            np.zeros((32, self.cfg.num_codebooks), np.int32)
-        )
+    def warmup(self, ref=None):
+        """Compile the join/tick/NAR/vocoder path before serving traffic.
+        Pass a `ref` shaped like production references (its bucket size keys
+        the conditioning compile); defaults to the 12 s reference bucket."""
+        if ref is None:
+            ref = self.eng.prepare_reference(
+                np.zeros((int(12.0 * self.cfg.mimi_fps), self.cfg.num_codebooks),
+                         np.int32)
+            )
         h = self.submit("warmup", ref, max_frames=self.cf, min_gen_frames=1)
         for _ in h.chunks():
             pass

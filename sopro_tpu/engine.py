@@ -205,18 +205,21 @@ class Engine:
                     settings, max_frames + 1,
                     kv_caches=self._ar_kv(params, txt_seq, text_mask),
                 )
-                return carry.tokens, carry.first_eos, carry.t
+                # pack the two host-needed scalars into one read
+                info = jnp.stack([carry.first_eos[0], carry.t[0]])
+                return carry.tokens, info
             return f
 
         lb = prep["txt_seq"].shape[1]
         fn = self._fn(("ar", lb, max_frames, anti_loop), build)
-        tokens, first_eos, t = fn(
+        tokens, info = fn(
             self.params, prep["cond_ar"], prep["txt_seq"], prep["text_mask"],
             jax.random.PRNGKey(int(kwargs["seed"])),
             jnp.float32(kwargs["top_p"]), jnp.float32(kwargs["temperature"]),
             jnp.int32(min_gen),
         )
-        cut = min(int(first_eos[0]), int(t[0]))
+        info = np.asarray(info)  # ONE transfer for both scalars
+        cut = min(int(info[0]), int(info[1]))
         return tokens, cut
 
     def nar_decode_fused(self, cond_ar, tokens_dev, t: int) -> np.ndarray:
@@ -433,17 +436,30 @@ class Engine:
                     init_mimi_stream_state(self.mimi_cfg, 1, dtype=self.dtype),
                 )
                 done = ~jnp.any(M.ar_row_active(carry, max_frames + 1))
-                return wav, valid[0], done, carry, kv, prep["cond_ar"], mstate
+                # single-readback packing: [wav..., valid, done] in one f32
+                # row — every separate device->host read pays ~15-25 ms of
+                # remote-tunnel latency, and TTFA eats it directly
+                packed = jnp.concatenate(
+                    [wav[0].astype(jnp.float32),
+                     jnp.stack([valid[0].astype(jnp.float32),
+                                done.astype(jnp.float32)])]
+                )
+                return packed, carry, kv, prep["cond_ar"], mstate
             return f
 
         fn = self._fn(
             ("stream_start", lb, int(max_frames), cf, bool(anti_loop)), build
         )
-        return fn(
+        packed, carry, kv, cond, mstate = fn(
             self.params, self.mimi_params, jnp.asarray(ids), jnp.asarray(mask),
             ref, jnp.float32(style_strength), jax.random.PRNGKey(seed),
             jnp.float32(top_p), jnp.float32(temperature), jnp.int32(min_gen),
         )
+        flat = np.asarray(packed)  # ONE device->host transfer
+        wav = flat[:-2][None]
+        valid = int(flat[-2])
+        done = bool(flat[-1])
+        return wav, valid, done, carry, kv, cond, mstate
 
     def stream_step_fused(
         self,
@@ -500,18 +516,25 @@ class Engine:
                     mp, self.mimi_cfg, toks[:, w - cf :], mstate
                 )
                 done = ~jnp.any(M.ar_row_active(carry, max_steps))
-                return wav, valid, done, carry, mstate
+                packed = jnp.concatenate(
+                    [wav[0].astype(jnp.float32),
+                     jnp.stack([valid.astype(jnp.float32),
+                                done.astype(jnp.float32)])]
+                )
+                return packed, carry, mstate
             return f
 
         fn = self._fn(
             ("stream_step", cf, ctx, bool(anti_loop),
              int(cond_ar.shape[1]), int(carry.tokens.shape[1])), build
         )
-        return fn(
+        packed, carry, mstate = fn(
             self.params, self.mimi_params, carry, kv, cond_ar, mstate,
             jnp.int32(emitted), jnp.float32(top_p), jnp.float32(temperature),
             jnp.int32(min_gen),
         )
+        flat = np.asarray(packed)  # ONE device->host transfer
+        return flat[:-2][None], int(flat[-2]), bool(flat[-1]), carry, mstate
 
     def mimi_stream_init(self) -> MimiStreamState:
         return init_mimi_stream_state(self.mimi_cfg, batch=1, dtype=self.dtype)

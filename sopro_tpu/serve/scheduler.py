@@ -185,7 +185,12 @@ class ContinuousBatcher:
                 params, cfgm, carry, cond, txt_kv, settings, cf
             )
             capped = carry.t >= (row["max_frames"] + 1)
-            return carry._replace(stopped=carry.stopped | capped)
+            carry = carry._replace(stopped=carry.stopped | capped)
+            # pack everything the host inspects into one transfer
+            info = jnp.stack(
+                [carry.t, carry.first_eos, carry.stopped.astype(jnp.int32)]
+            )
+            return carry, info
 
         self._tick = jax.jit(tick)
 
@@ -359,13 +364,12 @@ class ContinuousBatcher:
             "top_p": self.row_top_p, "temp": self.row_temp,
             "min_gen": self.row_min_gen, "max_frames": self.row_max_frames,
         }
-        self.carry = self._tick(
+        self.carry, info = self._tick(
             self.eng.params, self.carry, self.cond, self.txt_kv, row
         )
         self.ticks += 1
-        t = np.asarray(self.carry.t)
-        first_eos = np.asarray(self.carry.first_eos)
-        stopped = np.asarray(self.carry.stopped)
+        info = np.asarray(info)  # one device->host transfer per tick
+        t, first_eos, stopped = info[0], info[1], info[2].astype(bool)
 
         emitting: List[int] = []
         emitted_arr = np.zeros((self.B,), np.int32)

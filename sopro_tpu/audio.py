@@ -92,7 +92,12 @@ def save_audio(path: str, wav: np.ndarray, sr: int = 24000) -> None:
     if wav.ndim == 3:
         wav = wav[0]
     if wav.ndim == 2:
-        wav = wav.mean(axis=0)
+        if wav.dtype == np.int16:  # device-converted PCM: mono rows only
+            wav = wav[0] if wav.shape[0] == 1 else (
+                wav.astype(np.float32) / 32768.0
+            ).mean(axis=0)
+        else:
+            wav = wav.mean(axis=0)
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     pcm = pcm16(wav)
     with _wave.open(path, "wb") as f:
@@ -103,10 +108,14 @@ def save_audio(path: str, wav: np.ndarray, sr: int = 24000) -> None:
 
 
 def pcm16(wav: np.ndarray) -> np.ndarray:
-    """float [-1, 1] -> int16 with clipping (native fast path when built)."""
+    """float [-1, 1] -> int16 with clipping (native fast path when built).
+    int16 input passes through (already-PCM device output)."""
+    wav = np.asarray(wav)
+    if wav.dtype == np.int16:
+        return wav
     from sopro_tpu import native
 
-    return native.f32_to_pcm16(np.asarray(wav))
+    return native.f32_to_pcm16(wav)
 
 
 def resample(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:

@@ -109,7 +109,9 @@ def main(argv=None) -> int:
             chunks.append(c)
         wav = np.concatenate(chunks, axis=1) if chunks else np.zeros((1, 0), np.float32)
     else:
-        wav = tts.synthesize(args.text, **kwargs)
+        # device-side PCM16: the WAV on disk is 16-bit regardless, and the
+        # int16 readback halves the device->host transfer
+        wav = tts.synthesize(args.text, pcm16=True, **kwargs)
     gen_s = time.perf_counter() - t0
 
     tts.save_wav(args.out, wav)

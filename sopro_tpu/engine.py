@@ -222,10 +222,14 @@ class Engine:
         cut = min(int(info[0]), int(info[1]))
         return tokens, cut
 
-    def nar_decode_fused(self, cond_ar, tokens_dev, t: int) -> np.ndarray:
+    def nar_decode_fused(
+        self, cond_ar, tokens_dev, t: int, pcm16: bool = False
+    ) -> np.ndarray:
         """NAR refinement + full Mimi decode in ONE dispatch over a frame
-        bucket; returns wav [1, t*hop]. The 4 NAR stages and the vocoder fuse
-        on device, and only the final waveform crosses the host boundary."""
+        bucket; returns wav [1, t*hop] (float32, or int16 when `pcm16` —
+        halves the device->host transfer; WAV/SPRO outputs are 16-bit
+        anyway). The 4 NAR stages and the vocoder fuse on device, and only
+        the final waveform crosses the host boundary."""
         tb = min(self._frame_bucket(t), cond_ar.shape[1])
 
         def build():
@@ -234,11 +238,17 @@ class Engine:
                 toks_q = M.nar_refine(
                     params, self.cfg, cond[:, :tb], tokens[:, :tb], mask=mask
                 )
-                return mimi_decode(mp, self.mimi_cfg, toks_q)
+                wav = mimi_decode(mp, self.mimi_cfg, toks_q)
+                if pcm16:
+                    wav = jnp.round(
+                        jnp.clip(wav.astype(jnp.float32), -1.0, 1.0) * 32767.0
+                    ).astype(jnp.int16)
+                return wav
             return f
 
         fn = self._fn(
-            ("nar_dec", tb, int(cond_ar.shape[1]), int(tokens_dev.shape[1])),
+            ("nar_dec", tb, int(cond_ar.shape[1]), int(tokens_dev.shape[1]),
+             bool(pcm16)),
             build,
         )
         wav = fn(self.params, self.mimi_params, cond_ar, tokens_dev,

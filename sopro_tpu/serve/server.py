@@ -40,6 +40,8 @@ def float_to_pcm16le(wav: np.ndarray) -> bytes:
     wav = np.asarray(wav)
     if wav.ndim == 2:
         wav = wav[0]
+    if wav.dtype == np.int16:  # already device-converted PCM
+        return wav.astype("<i2", copy=False).tobytes()
     pcm = np.round(np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2")
     return pcm.tobytes()
 

@@ -233,8 +233,12 @@ class SoproTTS:
         ref_seconds: Optional[float] = None,
         min_gen_frames: Optional[int] = None,
         seed: int = 0,
+        pcm16: bool = False,
     ) -> np.ndarray:
-        """-> wav float32 [1, S] @ 24 kHz (reference: src/sopro/model.py:531-575)."""
+        """-> wav [1, S] @ 24 kHz (reference: src/sopro/model.py:531-575);
+        float32 by default, int16 with `pcm16=True` (converted on device —
+        halves the transfer; used by the server/CLI whose outputs are 16-bit
+        regardless)."""
         if ref is None:
             ref = self.prepare_reference(
                 ref_audio_path=ref_audio_path,
@@ -257,8 +261,10 @@ class SoproTTS:
             min_gen_frames=min_gen_frames,
         )
         if t <= 0:
-            return np.zeros((1, 0), np.float32)
-        return self.engine.nar_decode_fused(prep["cond_ar"], tokens_dev, t)
+            return np.zeros((1, 0), np.int16 if pcm16 else np.float32)
+        return self.engine.nar_decode_fused(
+            prep["cond_ar"], tokens_dev, t, pcm16=pcm16
+        )
 
     def stream(self, text: str, **kwargs) -> Iterator[np.ndarray]:
         """Chunked synthesis (reference: src/sopro/model.py:577-580 ->

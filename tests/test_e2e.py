@@ -122,6 +122,26 @@ def test_synthesize_smoke_and_determinism(pair, rng):
     assert wav3.shape != wav1.shape or not np.array_equal(wav3, wav1)
 
 
+def test_synthesize_pcm16_matches_float(pair, rng):
+    """Device-side PCM16 output equals host-side quantization of the float
+    path (same tokens, same vocoder; only the final cast moves on-device)."""
+    _, tts = pair
+    ref_tokens = rng.integers(0, CFG["codebook_size"], size=(10, CFG["num_codebooks"]))
+    pref = tts.engine.prepare_reference(ref_tokens.astype(np.int32))
+    wf = tts.synthesize("pcm check", ref=pref, max_frames=CFG["max_frames"], seed=9)
+    wp = tts.synthesize("pcm check", ref=pref, max_frames=CFG["max_frames"],
+                        seed=9, pcm16=True)
+    assert wp.dtype == np.int16 and wp.shape == wf.shape
+    expected = np.round(np.clip(wf, -1, 1) * 32767.0).astype(np.int16)
+    np.testing.assert_allclose(wp, expected, atol=1)  # rounding-boundary ulp
+
+    import wave as _w
+
+    tts.save_wav("/tmp/pcm16_out.wav", wp)
+    with _w.open("/tmp/pcm16_out.wav") as f:
+        assert f.getnframes() == wp.shape[1]
+
+
 def test_stream_invariants(pair, rng):
     """Concatenated stream covers exactly the same frame count as the
     non-streaming path for the same seed (the AR token sequence is identical

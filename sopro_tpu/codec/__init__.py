@@ -6,6 +6,7 @@ paths are implemented as pure JAX functions over parameter pytrees so the
 vocoder runs on-device, fused by XLA, and composes with jit/scan/pjit.
 """
 
+from sopro_tpu.codec.adapter import MimiCodec, MimiStreamDecoder
 from sopro_tpu.codec.mimi_config import MimiConfig
 from sopro_tpu.codec.mimi_jax import (
     mimi_decode,
@@ -15,7 +16,9 @@ from sopro_tpu.codec.mimi_jax import (
 )
 
 __all__ = [
+    "MimiCodec",
     "MimiConfig",
+    "MimiStreamDecoder",
     "mimi_decode",
     "mimi_encode",
     "rvq_decode",

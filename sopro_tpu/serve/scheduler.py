@@ -40,7 +40,9 @@ from sopro_tpu.models import sopro as M
 @dataclass
 class SessionHandle:
     """Host-side handle: chunks arrive on `out` ([1, S] float32 np arrays),
-    terminated by None. `error` is set if the session failed."""
+    terminated by None. `error` is set if the session failed. `cancel()`
+    stops the session at the next tick and frees its slot (client
+    disconnects must not keep decoding into the void)."""
 
     sid: int
     out: "queue.Queue[Optional[np.ndarray]]" = field(
@@ -50,6 +52,10 @@ class SessionHandle:
     created_s: float = field(default_factory=time.perf_counter)
     first_chunk_s: Optional[float] = None
     frames: int = 0
+    cancelled: bool = False
+
+    def cancel(self):
+        self.cancelled = True
 
     def chunks(self):
         while True:
@@ -299,6 +305,9 @@ class ContinuousBatcher:
             if not free or self._waiting.empty():
                 return
             req = self._waiting.get()
+            if req["handle"].cancelled:
+                req["handle"].out.put(None)
+                continue
             slot = free[0]
             try:
                 ids = self.tts.encode_text(req["text"])[: self.L]
@@ -360,6 +369,20 @@ class ContinuousBatcher:
                         self._slots[i] = None
 
     def _do_tick(self):
+        # retire cancelled sessions before spending device time on them
+        cancelled = [
+            i for i, s in enumerate(self._slots)
+            if s is not None and s.handle.cancelled
+        ]
+        if cancelled:
+            mask = jnp.asarray(np.isin(np.arange(self.B), cancelled))
+            self.carry = self.carry._replace(
+                stopped=self.carry.stopped | mask
+            )
+            for i in cancelled:
+                self._slots[i].handle.out.put(None)
+                self._slots[i] = None
+
         row = {
             "top_p": self.row_top_p, "temp": self.row_temp,
             "min_gen": self.row_min_gen, "max_frames": self.row_max_frames,

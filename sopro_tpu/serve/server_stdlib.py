@@ -249,7 +249,10 @@ class Handler(BaseHTTPRequestHandler):
                     send(core.frame(payload))
             self.wfile.write(b"0\r\n\r\n")
         except (BrokenPipeError, ConnectionResetError):
-            pass  # client went away; session drains into the void
+            # client went away: stop decoding and free the slot immediately
+            handle.cancel()
+            for _ in handle.chunks():
+                pass
 
 
 def serve(host: str = "0.0.0.0", port: int = 8000) -> ThreadingHTTPServer:

@@ -143,6 +143,36 @@ def test_per_row_masked_streaming(small_mimi, rng):
         )
 
 
+def test_codec_adapter_contract(small_mimi, rng, tmp_path):
+    """MimiCodec adapter (reference API shape: encode_file / decode_full /
+    MimiStreamDecoder.decode_step) over the JAX codec."""
+    from sopro_tpu.audio import save_audio
+    from sopro_tpu.codec import MimiCodec, MimiStreamDecoder
+
+    params, cfg = small_mimi
+    codec = MimiCodec(jax.device_put(params), cfg)
+    hop = cfg.hop_length
+
+    wav = (rng.standard_normal(6 * hop + 13) * 0.3).astype(np.float32)
+    p = str(tmp_path / "in.wav")
+    save_audio(p, wav, codec.sample_rate)
+    codes = codec.encode_file(p)
+    assert codes.shape[1] == cfg.num_quantizers
+    assert codes.shape[0] >= 1
+
+    out = codec.decode_full(codes)
+    assert out.shape == (1, codes.shape[0] * hop)
+
+    sd = MimiStreamDecoder(codec)
+    state = None
+    parts = []
+    for t in range(0, codes.shape[0], 2):
+        w, state = sd.decode_step(codes[t : t + 2], state)
+        parts.append(w)
+    streamed = np.concatenate(parts, axis=1)[:, : out.shape[1]]
+    np.testing.assert_allclose(streamed, out, rtol=1e-5, atol=1e-5)
+
+
 def test_stream_step_jit_stable(small_mimi, rng):
     """The step must be jittable with state as an argument pytree."""
     params, cfg = small_mimi

@@ -133,6 +133,27 @@ def test_sessions_join_mid_flight(tts, batcher):
     np.testing.assert_allclose(out_b, solo_b, rtol=1e-4, atol=1e-5)
 
 
+def test_cancel_frees_slot(tts, batcher):
+    """A cancelled session stops decoding and its slot is recycled for the
+    next waiting session (client-disconnect semantics)."""
+    ha = batcher.submit("long running one", _ref(tts, seed=0), seed=41)
+    _first = ha.out.get()  # session is live
+    ha.cancel()
+    # drain: must terminate (None) promptly rather than decode to max_frames
+    drained = 0
+    while True:
+        c = ha.out.get(timeout=30)
+        if c is None:
+            break
+        drained += 1
+    assert drained < 10
+
+    # slot is reusable afterwards
+    hb = batcher.submit("after cancel", _ref(tts, seed=0), seed=42)
+    total = sum(c.shape[1] for c in hb.chunks())
+    assert total > 0
+
+
 def _multipart(fields, files):
     """(content_type, body) for a multipart/form-data request."""
     boundary = "testboundary123"

@@ -84,10 +84,17 @@ class ContinuousBatcher:
         text_bucket: int = 256,
         max_frames: int = 400,
         nar_context_frames: Optional[int] = None,
+        mesh=None,
     ):
+        """`mesh`: an optional `jax.sharding.Mesh` with a "dp" axis — the
+        persistent batched state shards its session axis across the slice,
+        so every tick's AR/NAR/vocoder compute data-parallelizes over chips
+        (BASELINE config 5: continuous batching on a v5e slice). `slots`
+        must divide by the dp size."""
         self.tts = tts
         self.eng = tts.engine
         self.cfg = tts.cfg
+        self.mesh = mesh
         self.B = int(slots)
         self.cf = int(chunk_frames)
         self.L = int(text_bucket)
@@ -116,6 +123,9 @@ class ContinuousBatcher:
         self.row_max_frames = jnp.full((b,), self.max_frames_cap, jnp.int32)
         self.mimi_state = init_mimi_stream_state(self.eng.mimi_cfg, b, dtype=self.eng.dtype)
 
+        if mesh is not None:
+            self._shard_state()
+
         self._slots: List[Optional[_Slot]] = [None] * b
         self._waiting: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()
@@ -125,6 +135,33 @@ class ContinuousBatcher:
         self.ticks = 0
 
         self._build_fns()
+
+    def _shard_state(self):
+        """Commit the batched state with the session axis over "dp"; GSPMD
+        propagates the layout through the tick/NAR/vocoder jits."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self.B % int(self.mesh.shape["dp"]) != 0:
+            raise ValueError(
+                f"slots={self.B} must divide by dp={self.mesh.shape['dp']}"
+            )
+        row = NamedSharding(self.mesh, P("dp"))
+        repl = NamedSharding(self.mesh, P())
+
+        def shard_rows(tree):
+            return jax.tree.map(lambda x: jax.device_put(x, row), tree)
+
+        self.carry = shard_rows(self.carry)
+        self.cond = jax.device_put(self.cond, row)
+        self.txt_kv = shard_rows(self.txt_kv)
+        self.mimi_state = shard_rows(self.mimi_state)
+        self.row_top_p = jax.device_put(self.row_top_p, row)
+        self.row_temp = jax.device_put(self.row_temp, row)
+        self.row_min_gen = jax.device_put(self.row_min_gen, row)
+        self.row_max_frames = jax.device_put(self.row_max_frames, row)
+        self.eng.params = jax.device_put(self.eng.params, repl)
+        if self.eng.mimi_params is not None:
+            self.eng.mimi_params = jax.device_put(self.eng.mimi_params, repl)
 
     # ------------------------------------------------------------------ jit
 

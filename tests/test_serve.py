@@ -133,6 +133,41 @@ def test_sessions_join_mid_flight(tts, batcher):
     np.testing.assert_allclose(out_b, solo_b, rtol=1e-4, atol=1e-5)
 
 
+def test_mesh_sharded_batcher_matches_solo(tts):
+    """Continuous batching over a device mesh (config 5): sessions shard
+    across the "dp" axis and outputs remain sample-identical to solo runs.
+
+    dp-only mesh: per-row numerics are untouched by data parallelism, so
+    tokens (and hence waveforms) are bit-comparable. A tp axis changes
+    matmul reduction order by ulps, which legitimately flips sampled tokens
+    under random weights — covered by the dryrun/training tests instead."""
+    from sopro_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, dp=8, tp=1)
+    b = ContinuousBatcher(
+        tts, slots=8, chunk_frames=4, text_bucket=16,
+        max_frames=CFG["max_frames"], mesh=mesh,
+    )
+    try:
+        texts = ["alpha one", "beta two two"]
+        seeds = [11, 22]
+        solo = [_solo_stream(tts, t, s) for t, s in zip(texts, seeds)]
+        handles = [
+            b.submit(t, _ref(tts, seed=0), seed=s)
+            for t, s in zip(texts, seeds)
+        ]
+        for h, want in zip(handles, solo):
+            chunks = list(h.chunks())
+            got = (
+                np.concatenate(chunks, axis=1)
+                if chunks else np.zeros((1, 0), np.float32)
+            )
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    finally:
+        b.stop()
+
+
 def test_cancel_frees_slot(tts, batcher):
     """A cancelled session stops decoding and its slot is recycled for the
     next waiting session (client-disconnect semantics)."""

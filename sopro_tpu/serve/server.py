@@ -137,8 +137,14 @@ def get_tts():
                 _tts = SoproTTS.from_pretrained(
                     CFG.repo_id, revision=CFG.revision, token=CFG.token
                 )
+            mesh = None
+            dp = int(os.environ.get("SOPRO_DP", "0"))
+            if dp > 1:  # multi-chip serving: sessions shard across the slice
+                from sopro_tpu.parallel import make_mesh
+
+                mesh = make_mesh(dp, dp=dp, tp=1)
             _batcher = ContinuousBatcher(
-                _tts, slots=CFG.slots, chunk_frames=CFG.chunk_size
+                _tts, slots=CFG.slots, chunk_frames=CFG.chunk_size, mesh=mesh
             )
             _batcher.start()
         return _tts, _batcher

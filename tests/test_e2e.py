@@ -168,6 +168,40 @@ def test_stream_invariants(pair, rng):
     assert all(np.isfinite(c).all() for c in chunks)
 
 
+def test_style_strength_sweep(pair, rng):
+    """BASELINE config 3: style_strength scales the speaker FiLM modulation.
+    The reference zero-inits the FiLM output layer (src/sopro/nn/speaker.py:
+    73-74), so fresh weights are style-invariant by design; with a nonzero
+    FiLM, conditioning must vary monotonically in strength."""
+    import jax
+    import jax.numpy as jnp
+
+    from sopro_tpu.models import sopro as M
+
+    _, tts = pair
+    params = jax.tree.map(lambda x: x, tts.engine.params)
+    params["spk_film"]["mlp2"]["w"] = jnp.asarray(
+        rng.standard_normal(params["spk_film"]["mlp2"]["w"].shape) * 0.1,
+        jnp.float32,
+    )
+    cfg = tts.cfg
+    ref_tokens = rng.integers(0, CFG["codebook_size"], size=(1, 10, CFG["num_codebooks"]))
+    pref = M.prepare_reference(params, cfg, jnp.asarray(ref_tokens, jnp.int32))
+    ids = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+    mask = jnp.ones((1, 4), bool)
+
+    conds = {
+        s: np.asarray(M.prepare_conditioning(
+            params, cfg, ids, mask, pref,
+            max_frames=CFG["max_frames"], style_strength=s,
+        )["cond_ar"])
+        for s in (0.0, 1.0, 2.0)
+    }
+    d1 = np.abs(conds[1.0] - conds[0.0]).max()
+    d2 = np.abs(conds[2.0] - conds[0.0]).max()
+    assert d1 > 1e-4 and d2 > d1
+
+
 def test_encode_reference_from_audio(pair, tmp_path, rng):
     """Audio-file reference path: load -> trim -> resample -> crop -> Mimi
     encode (reference: src/sopro/codec/mimi.py:41-63)."""

@@ -1,0 +1,122 @@
+"""End-to-end `SoproTTS.from_pretrained` from local snapshot directories
+(reference: src/sopro/model.py:419-451): sopro repo dir with
+model.safetensors (+ tokenizer files) and a mimi repo dir with
+model.safetensors + config.json."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sopro_tpu.config import RuntimeConfig
+from sopro_tpu.tts import SoproTTS
+
+from tests import torch_ref as TR
+from tests.test_model_parity import CFG, _FakeTok
+from tests.test_mimi_streaming import SMALL as MIMI_SMALL
+
+RT = RuntimeConfig(text_buckets=(16, 32), ref_buckets=(16,), nar_pad_multiple=8)
+
+
+def _write_tokenizer(dirpath):
+    """Minimal real HF tokenizer (word-level) so AutoTokenizer loads from
+    the snapshot dir like the reference does (model.py:441)."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    vocab = {"<|pad|>": 0, "<s>": 1, "</s>": 2, "<unk>": 3}
+    for i, w in enumerate(["hello", "world", "voice", "test"]):
+        vocab[w] = 4 + i
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(os.path.join(dirpath, "tokenizer.json"))
+    with open(os.path.join(dirpath, "tokenizer_config.json"), "w") as f:
+        json.dump({
+            "tokenizer_class": "PreTrainedTokenizerFast",
+            "bos_token": "<s>",
+            "eos_token": "</s>",
+            "pad_token": "<|pad|>",
+            "unk_token": "<unk>",
+        }, f)
+
+
+@pytest.fixture(scope="module")
+def snapshot_dirs(tmp_path_factory):
+    TR.import_ref()
+    import torch
+    from sopro.config import SoproTTSConfig as RefCfg
+    from sopro.model import SoproTTSModel
+    from transformers.models.mimi.configuration_mimi import MimiConfig as HFMimi
+    from transformers.models.mimi.modeling_mimi import MimiModel
+
+    from sopro_tpu import hub as H
+
+    sopro_dir = str(tmp_path_factory.mktemp("sopro_repo"))
+    mimi_dir = str(tmp_path_factory.mktemp("mimi_repo"))
+
+    # sopro snapshot: reference-named weights + cfg metadata + tokenizer
+    class _Tok:
+        vocab_size = 16
+
+    torch.manual_seed(31)
+    cfg_kw = {**CFG}
+    m = SoproTTSModel(RefCfg(**cfg_kw), _Tok()).eval()
+    flat = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    H.write_safetensors(
+        os.path.join(sopro_dir, "model.safetensors"), flat,
+        metadata={"cfg": json.dumps(cfg_kw)},
+    )
+    _write_tokenizer(sopro_dir)
+
+    # mimi snapshot: a real torch MimiModel state dict + config.json
+    small = {**MIMI_SMALL}
+    small.pop("frame_rate", None)
+    small["num_quantizers"] = CFG["num_codebooks"]
+    small["codebook_size"] = CFG["codebook_size"]
+    hf_cfg = HFMimi(**{**small, "upsampling_ratios": list(small["upsampling_ratios"])})
+    torch.manual_seed(32)
+    mm = MimiModel(hf_cfg).eval()
+    H.write_safetensors(
+        os.path.join(mimi_dir, "model.safetensors"),
+        {k: v.detach().numpy() for k, v in mm.state_dict().items()},
+    )
+    with open(os.path.join(mimi_dir, "config.json"), "w") as f:
+        json.dump({**small, "frame_rate": float(hf_cfg.frame_rate),
+                   "upsampling_ratios": list(small["upsampling_ratios"])}, f)
+    return sopro_dir, mimi_dir
+
+
+def test_from_pretrained_local_snapshot(snapshot_dirs, rng):
+    sopro_dir, mimi_dir = snapshot_dirs
+    tts = SoproTTS.from_pretrained(
+        sopro_dir, mimi_repo_id=mimi_dir, runtime=RT
+    )
+    assert tts.cfg.d_model == CFG["d_model"]
+    assert tts.tokenizer.pad_id == 0
+
+    ids = tts.encode_text("hello world voice")
+    assert ids[0] == tts.tokenizer.bos_id and ids[-1] == tts.tokenizer.eos_id
+
+    ref_tokens = rng.integers(
+        0, CFG["codebook_size"], size=(10, CFG["num_codebooks"])
+    ).astype(np.int32)
+    wav = tts.synthesize(
+        "hello world", ref_tokens_tq=ref_tokens,
+        max_frames=CFG["max_frames"], seed=1,
+    )
+    hop = tts.engine.mimi_cfg.hop_length
+    assert wav.shape[0] == 1 and wav.shape[1] % hop == 0
+    assert np.isfinite(wav).all()
+
+    # reference-audio file path end to end (uses the fabricated mimi encoder)
+    sr = int(tts.engine.mimi_cfg.sampling_rate)
+    ref_wav = (rng.standard_normal(sr) * 0.3).astype(np.float32)
+    p = os.path.join(sopro_dir, "ref.wav")
+    tts.save_wav(p, ref_wav)
+    wav2 = tts.synthesize(
+        "voice test", ref_audio_path=p, ref_seconds=0.016,
+        max_frames=CFG["max_frames"], seed=2,
+    )
+    assert wav2.shape[1] % hop == 0 and np.isfinite(wav2).all()

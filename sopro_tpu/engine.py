@@ -299,6 +299,86 @@ class Engine:
         codes = fn(self.mimi_params, wav_bs=jnp.asarray(wav, jnp.float32)[None])
         return np.asarray(codes[0])
 
+    # -- batched synthesize (BASELINE config 4) ---------------------------
+
+    def synthesize_batch_fused(
+        self,
+        ids_rows,
+        ref_batched,
+        *,
+        max_frames: int,
+        style_strength: float,
+        seeds,
+        top_p: float,
+        temperature: float,
+        anti_loop: bool,
+        min_gen: int,
+    ):
+        """Padded batch of utterances in 2 dispatches: batched conditioning +
+        per-row AR decode, then one batched NAR + vocoder over the full
+        padded length. Returns (wav [B, S*hop] f32, lengths [B] frames)."""
+        bsz = len(ids_rows)
+        lb = pick_bucket(max(len(r) for r in ids_rows), self.rt.text_buckets)
+        ids = np.zeros((bsz, lb), np.int32)
+        mask = np.zeros((bsz, lb), bool)
+        for i, r in enumerate(ids_rows):
+            ids[i, : len(r)] = r
+            mask[i, : len(r)] = True
+        s = int(max_frames) + 1
+
+        def build():
+            def f(params, mp, ids, mask, ref, strength, keys, top_p, temp,
+                  min_gen):
+                prep = M.prepare_conditioning(
+                    params, self.cfg, ids, mask, ref,
+                    max_frames=max_frames, style_strength=strength,
+                )
+                settings = M.ARSettings(
+                    top_p=top_p, temperature=temp,
+                    recovery_top_p=jnp.float32(0.85),
+                    recovery_temp=jnp.float32(1.2),
+                    min_gen_frames=min_gen, anti_loop=anti_loop,
+                )
+                kv = self._ar_kv(params, prep["txt_seq"], mask)
+                carry = M.init_ar_carry(
+                    self.cfg, ids.shape[0], s, keys[0], self.dtype
+                )
+                carry = carry._replace(key=keys)
+                carry = M.maybe_pack_carry(carry, kv)
+
+                def cond_fn(c):
+                    return jnp.any(M.ar_row_active(c, s))
+
+                carry = jax.lax.while_loop(
+                    cond_fn,
+                    lambda c: M.ar_single_step(
+                        params, self.cfg, c, prep["cond_ar"], kv, settings
+                    ),
+                    carry,
+                )
+                lengths = jnp.minimum(carry.first_eos, carry.t)  # [B]
+                frame_mask = jnp.arange(s)[None, :] < lengths[:, None]
+                toks = M.nar_refine(
+                    params, self.cfg, prep["cond_ar"], carry.tokens,
+                    mask=frame_mask,
+                )
+                wav = mimi_decode(mp, self.mimi_cfg, toks)
+                return wav, lengths
+            return f
+
+        fn = self._fn(
+            ("synth_batch", bsz, lb, int(max_frames), bool(anti_loop)), build
+        )
+        keys = jnp.stack([jax.random.PRNGKey(int(sd)) for sd in seeds])
+        # per-row key derivation as in init_ar_carry(batch=1) for parity
+        keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
+        wav, lengths = fn(
+            self.params, self.mimi_params, jnp.asarray(ids), jnp.asarray(mask),
+            ref_batched, jnp.float32(style_strength), keys,
+            jnp.float32(top_p), jnp.float32(temperature), jnp.int32(min_gen),
+        )
+        return np.asarray(wav), np.asarray(lengths)
+
     # -- streaming primitives ---------------------------------------------
 
     def ar_start(

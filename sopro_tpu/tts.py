@@ -266,6 +266,61 @@ class SoproTTS:
             prep["cond_ar"], tokens_dev, t, pcm16=pcm16
         )
 
+    def synthesize_batch(
+        self,
+        texts,
+        *,
+        ref: Optional[PreparedReference] = None,
+        ref_audio_path: Optional[str] = None,
+        ref_tokens_tq: Optional[np.ndarray] = None,
+        max_frames: int = 400,
+        top_p: float = 0.9,
+        temperature: float = 1.05,
+        anti_loop: bool = True,
+        style_strength: Optional[float] = None,
+        ref_seconds: Optional[float] = None,
+        min_gen_frames: Optional[int] = None,
+        seeds=None,
+    ):
+        """Batched synthesis (BASELINE config 4): N utterances decode as one
+        padded batch — per-row AR with independent EOS, one batched NAR +
+        vocoder pass. Returns a list of [1, S_i] waveforms. No reference
+        counterpart (the reference is strictly single-utterance)."""
+        import jax
+        import jax.numpy as jnp
+
+        if ref is None:
+            ref = self.prepare_reference(
+                ref_audio_path=ref_audio_path,
+                ref_tokens_tq=ref_tokens_tq,
+                ref_seconds=ref_seconds,
+            )
+        b = len(texts)
+        seeds = list(seeds) if seeds is not None else list(range(b))
+
+        def tile(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == 1:
+                return jnp.broadcast_to(x, (b,) + x.shape[1:])
+            return x
+
+        ref_b = jax.tree.map(tile, ref)
+        ids_rows = [self.encode_text(t) for t in texts]
+        wav, lengths = self.engine.synthesize_batch_fused(
+            ids_rows, ref_b,
+            max_frames=max_frames,
+            style_strength=float(
+                style_strength if style_strength is not None
+                else self.cfg.style_strength
+            ),
+            seeds=seeds, top_p=top_p, temperature=temperature,
+            anti_loop=anti_loop,
+            min_gen=int(min_gen_frames or self.cfg.min_gen_frames),
+        )
+        hop = self.engine.mimi_cfg.hop_length
+        return [
+            wav[i : i + 1, : int(lengths[i]) * hop] for i in range(b)
+        ]
+
     def stream(self, text: str, **kwargs) -> Iterator[np.ndarray]:
         """Chunked synthesis (reference: src/sopro/model.py:577-580 ->
         streaming.stream with chunk_frames default 6)."""

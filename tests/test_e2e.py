@@ -168,6 +168,35 @@ def test_stream_invariants(pair, rng):
     assert all(np.isfinite(c).all() for c in chunks)
 
 
+def test_synthesize_batch(pair, rng):
+    """Batched synthesis (config 4): rows decode independently (identical
+    (text, seed) rows produce identical audio regardless of co-batch), the
+    call is deterministic, and per-row EOS lengths are honored."""
+    _, tts = pair
+    ref_tokens = rng.integers(0, CFG["codebook_size"], size=(10, CFG["num_codebooks"]))
+    pref = tts.engine.prepare_reference(ref_tokens.astype(np.int32))
+    hop = tts.engine.mimi_cfg.hop_length
+
+    texts = ["alpha one", "beta two", "alpha one", "gamma three"]
+    seeds = [7, 8, 7, 9]
+    outs = tts.synthesize_batch(
+        texts, ref=pref, max_frames=CFG["max_frames"], seeds=seeds
+    )
+    assert len(outs) == 4
+    for w in outs:
+        assert w.shape[0] == 1 and w.shape[1] % hop == 0
+        assert np.isfinite(w).all()
+    # identical rows -> identical audio (per-row independence)
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+    # deterministic across calls
+    outs2 = tts.synthesize_batch(
+        texts, ref=pref, max_frames=CFG["max_frames"], seeds=seeds
+    )
+    for a, b in zip(outs, outs2):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_style_strength_sweep(pair, rng):
     """BASELINE config 3: style_strength scales the speaker FiLM modulation.
     The reference zero-inits the FiLM output layer (src/sopro/nn/speaker.py:

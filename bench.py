@@ -123,6 +123,21 @@ def main() -> None:
         serve_x = sum(done.values()) / (time.perf_counter() - t0)
         batcher.stop()
 
+    # ---- batched offline synthesis (config 4, 32 padded utterances) -------
+    batch32_x = None
+    if os.environ.get("SOPRO_BENCH_BATCH", "1") != "0":
+        texts32 = [
+            f"Utterance number {i} spoken by the batched synthesizer."
+            for i in range(32)
+        ]
+        tts.synthesize_batch(texts32, ref=ref, max_frames=150,
+                             seeds=list(range(32)))  # warm
+        t0 = time.perf_counter()
+        outs = tts.synthesize_batch(texts32, ref=ref, max_frames=150,
+                                    seeds=list(range(100, 132)))
+        dt = time.perf_counter() - t0
+        batch32_x = sum(w.shape[1] for w in outs) / sr / dt
+
     backend = jax.devices()[0].platform
     base_rtf, base_ttfa = 0.05, 250.0
     result = {
@@ -138,6 +153,9 @@ def main() -> None:
             "ar_frames_per_s": round(frames_per_s, 1),
             "serve8_aggregate_x_realtime": (
                 round(serve_x, 1) if serve_x else None
+            ),
+            "batch32_aggregate_x_realtime": (
+                round(batch32_x, 1) if batch32_x else None
             ),
             "audio_s_per_run": round(wav.shape[1] / sr, 2),
             "build_s": round(build_s, 1),

@@ -379,96 +379,6 @@ class Engine:
         )
         return np.asarray(wav), np.asarray(lengths)
 
-    # -- streaming primitives ---------------------------------------------
-
-    def ar_start(
-        self, prep: Dict[str, jnp.ndarray], *, max_frames: int, seed: int
-    ) -> Tuple[M.ARCarry, Any]:
-        """Init AR carry + text KV caches (device-resident across chunks)."""
-        lb = prep["txt_seq"].shape[1]
-        fn = self._fn(("ar_kv", lb), lambda: (
-            lambda p, txt_seq, mask: self._ar_kv(p, txt_seq, mask)
-        ))
-        kv = fn(self.params, prep["txt_seq"], prep["text_mask"])
-        carry = M.init_ar_carry(
-            self.cfg, 1, max_frames + 1, jax.random.PRNGKey(seed),
-            dtype=self.dtype,
-        )
-        return M.maybe_pack_carry(carry, kv), kv
-
-    def ar_chunk(
-        self,
-        carry: M.ARCarry,
-        kv: Any,
-        cond_ar: jnp.ndarray,
-        *,
-        n_steps: int,
-        top_p: float,
-        temperature: float,
-        anti_loop: bool,
-        min_gen_frames: Optional[int],
-    ) -> M.ARCarry:
-        min_gen = int(min_gen_frames or self.cfg.min_gen_frames)
-
-        def build():
-            def f(params, carry, kv, cond, top_p, temp, min_gen):
-                settings = M.ARSettings(
-                    top_p=top_p, temperature=temp,
-                    recovery_top_p=jnp.float32(0.85),
-                    recovery_temp=jnp.float32(1.2),
-                    min_gen_frames=min_gen, anti_loop=anti_loop,
-                )
-                return M.ar_generate_chunk(
-                    params, self.cfg, carry, cond, kv, settings, n_steps
-                )
-            return f
-
-        fn = self._fn(
-            ("ar_chunk", int(n_steps), bool(anti_loop), cond_ar.shape[1]), build
-        )
-        return fn(self.params, carry, kv, cond_ar, jnp.float32(top_p),
-                  jnp.float32(temperature), jnp.int32(min_gen))
-
-    def nar_window_dyn(
-        self,
-        cond_ar: jnp.ndarray,
-        tokens: jnp.ndarray,
-        valid_t: int,
-        *,
-        window: int,
-        n_new: int,
-        nar_ctx: int,
-    ) -> np.ndarray:
-        """Fixed-size windowed NAR re-refine for streaming: refine the
-        `window` frames ending at `valid_t` (zero-padded below frame 0), with
-        a validity mask limiting context to `nar_ctx + n_new` frames — the
-        exact numerics of the reference's variable-length windows
-        (src/sopro/streaming.py:81-98). Returns the refined window [W, Q];
-        the caller emits the last n_new rows."""
-        w = int(window)
-
-        def build():
-            def f(params, cond, toks, valid_t, n_new, nar_ctx):
-                cond_pad = jnp.concatenate(
-                    [jnp.zeros((1, w, cond.shape[-1]), cond.dtype), cond], axis=1
-                )
-                toks_pad = jnp.concatenate(
-                    [jnp.zeros((1, w), toks.dtype), toks], axis=1
-                )
-                win = jax.lax.dynamic_slice_in_dim(cond_pad, valid_t, w, axis=1)
-                rvq = jax.lax.dynamic_slice_in_dim(toks_pad, valid_t, w, axis=1)
-                win_valid = jnp.minimum(valid_t, nar_ctx + n_new)
-                mask = (jnp.arange(w) >= (w - win_valid))[None]
-                return M.nar_refine(params, self.cfg, win, rvq, mask=mask)
-            return f
-
-        fn = self._fn(
-            ("nar_win_dyn", w, int(cond_ar.shape[1]), int(tokens.shape[1])), build
-        )
-        out = fn(self.params, cond_ar, tokens, jnp.int32(valid_t),
-                 jnp.int32(n_new), jnp.int32(nar_ctx))
-        return np.asarray(out[0])
-
     # -- fused streaming (one dispatch per chunk) --------------------------
 
     def stream_start_fused(
@@ -625,20 +535,6 @@ class Engine:
         )
         flat = np.asarray(packed)  # ONE device->host transfer
         return flat[:-2][None], int(flat[-2]), bool(flat[-1]), carry, mstate
-
-    def mimi_stream_init(self) -> MimiStreamState:
-        return init_mimi_stream_state(self.mimi_cfg, batch=1, dtype=self.dtype)
-
-    def mimi_stream_step(
-        self, codes_tq: np.ndarray, state: MimiStreamState
-    ) -> Tuple[np.ndarray, MimiStreamState]:
-        n = int(codes_tq.shape[0])
-        fn = self._fn(("mimi_step", n), lambda: functools.partial(
-            mimi_decode_step, cfg=self.mimi_cfg
-        ))
-        wav, state = fn(self.mimi_params, codes_btq=jnp.asarray(codes_tq, jnp.int32)[None],
-                        state=state)
-        return np.asarray(wav[0]), state
 
     # -- warmup ------------------------------------------------------------
 

@@ -63,9 +63,13 @@ def main() -> None:
     prep_ref_s = time.perf_counter() - t0
 
     # ---- non-streaming synthesize: warm once, then measure ----------------
+    # pcm16: 16-bit samples leave the device (the CLI writes 16-bit WAV and
+    # the server streams 16-bit PCM regardless — the float path just converts
+    # on host); fused single-dispatch is the default at max_frames=400.
     def synth(seed):
         return tts.synthesize(
-            text, ref=ref, max_frames=max_frames, seed=seed, anti_loop=True
+            text, ref=ref, max_frames=max_frames, seed=seed, anti_loop=True,
+            pcm16=True,
         )
 
     t0 = time.perf_counter()
@@ -86,12 +90,17 @@ def main() -> None:
     # ---- streaming TTFA ---------------------------------------------------
     streamer = SoproTTSStreamer(tts, StreamConfig(chunk_frames=6))
 
-    def run_stream(seed):
+    # TTFA measured at the production default max_frames=400 (every real
+    # call path defaults to 400); the stream stops after the first chunk —
+    # TTFA is by definition the time to that chunk.
+    def run_stream(seed, max_frames=400, stop_after_first=True):
         n = 0
         for c in streamer.stream(
-            text, ref=ref, max_frames=24, chunk_frames=6, seed=seed
+            text, ref=ref, max_frames=max_frames, chunk_frames=6, seed=seed
         ):
             n += c.shape[1]
+            if stop_after_first:
+                break
         return streamer.last_ttfa_s
 
     run_stream(0)  # warm the streaming-path jits
@@ -131,17 +140,18 @@ def main() -> None:
             for i in range(32)
         ]
         tts.synthesize_batch(texts32, ref=ref, max_frames=150,
-                             seeds=list(range(32)))  # warm
+                             seeds=list(range(32)), pcm16=True)  # warm
         t0 = time.perf_counter()
         outs = tts.synthesize_batch(texts32, ref=ref, max_frames=150,
-                                    seeds=list(range(100, 132)))
+                                    seeds=list(range(100, 132)), pcm16=True)
         dt = time.perf_counter() - t0
         batch32_x = sum(w.shape[1] for w in outs) / sr / dt
 
     backend = jax.devices()[0].platform
     base_rtf, base_ttfa = 0.05, 250.0
     result = {
-        "metric": "single-stream RTF (non-streaming synthesize, 32s long-form)",
+        "metric": "single-stream RTF (non-streaming synthesize, 32s "
+                  "long-form, fused dispatch, 16-bit PCM out)",
         "value": round(rtf, 5),
         "unit": "RTF",
         "vs_baseline": round(base_rtf / rtf, 2),
@@ -149,6 +159,7 @@ def main() -> None:
             "backend": backend,
             "compute_dtype": dtype,
             "ttfa_p50_ms": round(ttfa_ms, 1),
+            "ttfa_max_frames": 400,
             "ttfa_vs_baseline_x": round(base_ttfa / ttfa_ms, 2),
             "ar_frames_per_s": round(frames_per_s, 1),
             "serve8_aggregate_x_realtime": (

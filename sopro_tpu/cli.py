@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk_frames", type=int, default=6)
     p.add_argument("--random_init", action="store_true",
                    help="random weights instead of a checkpoint (offline dev)")
+    p.add_argument("--metrics_json", action="store_true",
+                   help="print structured per-utterance metrics as JSON")
+    p.add_argument("--trace_dir", default=None,
+                   help="write a jax.profiler device trace to this directory")
     return p
 
 
@@ -54,23 +58,27 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    import contextlib
+
     import numpy as np
 
     from sopro_tpu import SoproTTS
+    from sopro_tpu.profiling import GenerationMetrics, Timer, device_trace
 
     def log(msg):
         if not args.quiet:
             print(msg, file=sys.stderr)
 
-    t0 = time.perf_counter()
-    if args.random_init:
-        tts = SoproTTS.from_random(seed=args.seed)
-    else:
-        tts = SoproTTS.from_pretrained(
-            args.repo, revision=args.revision, cache_dir=args.cache_dir,
-            token=args.token,
-        )
-    log(f"model loaded in {time.perf_counter() - t0:.1f}s")
+    timer = Timer()
+    with timer.section("load"):
+        if args.random_init:
+            tts = SoproTTS.from_random(seed=args.seed)
+        else:
+            tts = SoproTTS.from_pretrained(
+                args.repo, revision=args.revision, cache_dir=args.cache_dir,
+                token=args.token,
+            )
+    log(f"model loaded in {timer.sections['load']:.1f}s")
 
     ref_tokens = None
     if args.ref_tokens:
@@ -80,12 +88,12 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
-    t0 = time.perf_counter()
-    ref = tts.prepare_reference(
-        ref_audio_path=args.ref_audio, ref_tokens_tq=ref_tokens,
-        ref_seconds=args.ref_seconds,
-    )
-    log(f"reference prepared in {time.perf_counter() - t0:.1f}s")
+    with timer.section("reference"):
+        ref = tts.prepare_reference(
+            ref_audio_path=args.ref_audio, ref_tokens_tq=ref_tokens,
+            ref_seconds=args.ref_seconds,
+        )
+    log(f"reference prepared in {timer.sections['reference']:.1f}s")
 
     kwargs = dict(
         ref=ref,
@@ -98,28 +106,43 @@ def main(argv=None) -> int:
     )
 
     sr = 24000
+    metrics = GenerationMetrics()
+    trace_ctx = (
+        device_trace(args.trace_dir) if args.trace_dir
+        else contextlib.nullcontext()
+    )
     t0 = time.perf_counter()
-    if args.stream:
-        chunks = []
-        ttfa = None
-        for c in tts.stream(args.text, chunk_frames=args.chunk_frames, **kwargs):
-            if ttfa is None:
-                ttfa = time.perf_counter() - t0
-                log(f"TTFA {ttfa * 1000:.0f} ms")
-            chunks.append(c)
-        wav = np.concatenate(chunks, axis=1) if chunks else np.zeros((1, 0), np.float32)
-    else:
-        # device-side PCM16: the WAV on disk is 16-bit regardless, and the
-        # int16 readback halves the device->host transfer
-        wav = tts.synthesize(args.text, pcm16=True, **kwargs)
-    gen_s = time.perf_counter() - t0
+    with trace_ctx, timer.section("generate"):
+        if args.stream:
+            chunks = []
+            for c in tts.stream(args.text, chunk_frames=args.chunk_frames,
+                                **kwargs):
+                if metrics.ttfa_s is None:
+                    metrics.ttfa_s = time.perf_counter() - t0
+                    log(f"TTFA {metrics.ttfa_s * 1000:.0f} ms")
+                chunks.append(c)
+            wav = (np.concatenate(chunks, axis=1) if chunks
+                   else np.zeros((1, 0), np.float32))
+        else:
+            # device-side PCM16: the WAV on disk is 16-bit regardless, and the
+            # int16 readback halves the device->host transfer
+            wav = tts.synthesize(args.text, pcm16=True, **kwargs)
+
+    metrics.wall_s = timer.sections["generate"]
+    metrics.audio_s = wav.shape[1] / sr
+    metrics.frames = wav.shape[1] // tts.engine.mimi_cfg.hop_length
 
     tts.save_wav(args.out, wav)
-    audio_s = wav.shape[1] / sr
     log(
-        f"generated {audio_s:.2f}s audio in {gen_s:.2f}s "
-        f"(RTF {gen_s / max(audio_s, 1e-9):.3f}) -> {args.out}"
+        f"generated {metrics.audio_s:.2f}s audio in {metrics.wall_s:.2f}s "
+        f"(RTF {metrics.rtf:.3f}, {metrics.frames_per_s:.0f} frames/s) "
+        f"-> {args.out}"
     )
+    log(timer.report())
+    if args.metrics_json:
+        import json
+
+        print(json.dumps(metrics.to_dict()))
     return 0
 
 

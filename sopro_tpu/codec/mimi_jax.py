@@ -101,17 +101,51 @@ def mimi_conv(p: Params, x: jnp.ndarray, spec: Dict[str, Any]) -> jnp.ndarray:
 def mimi_convt(p: Params, x: jnp.ndarray, spec: Dict[str, Any]) -> jnp.ndarray:
     """Causal ConvTranspose1d over [B, T, C_in] -> [B, T*stride, C_out].
 
-    Expressed as an lhs-dilated conv with a pre-flipped kernel (see
-    convert.convt_weight): full output length (T-1)*s + k, then the causal
-    trim drops k - s samples from the right (trim_right_ratio=1.0, HF
-    modeling_mimi.py MimiConvTranspose1d)."""
+    Fast path (all SEANet-decoder upsamplers have k == 2*stride): polyphase
+    decomposition. With the pre-flipped HIO kernel the lhs-dilated conv is
+    y[n] = sum_j w[j] . x[(n + j - (k-1)) / s] (integer divisions only), so
+    for k = 2s each output phase r takes exactly two input frames:
+
+        y[m*s + r] = w[s-1-r] . x[m-1]  +  w[2s-1-r] . x[m]
+
+    which is ONE dense [B*T, 2*C_in] @ [2*C_in, s*C_out] matmul — MXU-shaped,
+    instead of an lhs-dilated conv whose input is (s-1)/s zeros. Bit-identical
+    output ordering to the slow path (tested vs HF in test_mimi_parity).
+
+    Slow path (grouped / other k): lhs-dilated conv with full padding, causal
+    trim to T*s (trim_right_ratio=1.0, HF modeling_mimi.py
+    MimiConvTranspose1d)."""
     k, stride = int(spec["k"]), int(spec["stride"])
     groups = int(spec.get("groups", 1))
-    y = _conv_nhc(x, p["w"], stride=1, lhs_dilation=stride, pad=(k - 1, k - 1),
-                  groups=groups)
+    if groups == 1 and stride > 1 and k == 2 * stride:
+        y = _convt_polyphase(p["w"], x, stride)
+    else:
+        y = _conv_nhc(x, p["w"], stride=1, lhs_dilation=stride,
+                      pad=(k - 1, k - 1), groups=groups)
+        y = y[:, : x.shape[1] * stride, :]
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
-    return y[:, : x.shape[1] * stride, :]
+    return y
+
+
+def _convt_polyphase(w: jnp.ndarray, x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """k=2s transpose conv as a single dense matmul (see mimi_convt)."""
+    k, cin, cout = w.shape
+    r = jnp.arange(s)
+    w_prev = w[s - 1 - r]      # [s, C_in, C_out] -> multiplies x[m-1]
+    w_curr = w[2 * s - 1 - r]  # [s, C_in, C_out] -> multiplies x[m]
+    w2 = jnp.concatenate(
+        [
+            jnp.transpose(w_prev, (1, 0, 2)).reshape(cin, s * cout),
+            jnp.transpose(w_curr, (1, 0, 2)).reshape(cin, s * cout),
+        ],
+        axis=0,
+    ).astype(x.dtype)  # [2*C_in, s*C_out]
+    b, t, _ = x.shape
+    xprev = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :t]
+    xx = jnp.concatenate([xprev, x], axis=-1)  # [B, T, 2*C_in]
+    y = jnp.einsum("btc,cd->btd", xx, w2)
+    return y.reshape(b, t * s, cout)
 
 
 def _elu(x: jnp.ndarray) -> jnp.ndarray:

@@ -93,16 +93,29 @@ def stream_convt(
     p: Params, x: jnp.ndarray, carry: jnp.ndarray, spec: Dict[str, Any]
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Causal transpose conv over a chunk [B, n, C_in] -> [B, n*s, C_out]
-    with a bias-free overlap-add carry [B, k-s, C_out]."""
+    with a bias-free overlap-add carry [B, k-s, C_out].
+
+    Same polyphase fast path as mimi_jax.mimi_convt for k == 2s ungrouped
+    kernels: the in-chunk output is one dense matmul, and the carry is the
+    last frame's "previous-frame" product w[s-1-r] . x[n-1]."""
     k, stride = int(spec["k"]), int(spec["stride"])
     groups = int(spec.get("groups", 1))
     n = x.shape[1]
-    raw = _conv_nhc(x, p["w"], stride=1, lhs_dilation=stride,
-                    pad=(k - 1, k - 1), groups=groups)  # [B, n*s + (k-s), C]
     ov = k - stride
-    emit = raw[:, : n * stride]
+    if groups == 1 and stride > 1 and k == 2 * stride:
+        from sopro_tpu.codec.mimi_jax import _convt_polyphase
+
+        emit = _convt_polyphase(p["w"], x, stride)  # [B, n*s, C_out]
+        w_prev = p["w"][stride - 1 - jnp.arange(stride)]  # [s, C_in, C_out]
+        new_carry = jnp.einsum(
+            "bc,scd->bsd", x[:, -1], w_prev.astype(x.dtype)
+        )  # [B, k-s, C_out]
+    else:
+        raw = _conv_nhc(x, p["w"], stride=1, lhs_dilation=stride,
+                        pad=(k - 1, k - 1), groups=groups)  # [B, n*s+(k-s), C]
+        emit = raw[:, : n * stride]
+        new_carry = raw[:, n * stride:]
     emit = emit.at[:, :ov].add(carry)
-    new_carry = raw[:, n * stride:]
     if "b" in p:
         emit = emit + p["b"].astype(emit.dtype)
     return emit, new_carry

@@ -299,6 +299,91 @@ class Engine:
         codes = fn(self.mimi_params, wav_bs=jnp.asarray(wav, jnp.float32)[None])
         return np.asarray(codes[0])
 
+    # -- fused single-dispatch synthesize ----------------------------------
+
+    def synthesize_fused(
+        self,
+        ids_row: np.ndarray,
+        ref,
+        *,
+        max_frames: int,
+        style_strength: float,
+        seed: int,
+        top_p: float,
+        temperature: float,
+        anti_loop: bool,
+        min_gen: int,
+        pcm16: bool = False,
+    ) -> Tuple[np.ndarray, int]:
+        """Whole pipeline (conditioning + AR while_loop + NAR + vocoder) in
+        ONE jitted dispatch with ONE device->host readback.
+
+        Every separate dispatch/readback over the remote-device link costs
+        10-25 ms of fixed latency, so for long-form generation this beats the
+        adaptive two-dispatch path even though NAR + vocoder run over the
+        full `max_frames` bucket instead of an EOS-sized one. The generated
+        length rides along inside the waveform buffer (single-readback rule).
+        Returns (wav [1, t*hop], t)."""
+        l = int(ids_row.shape[0])
+        lb = pick_bucket(l, self.rt.text_buckets)
+        ids = _pad_axis(np.asarray(ids_row, np.int32), 0, lb)[None]
+        mask = np.zeros((1, lb), bool)
+        mask[:, :l] = True
+        s = int(max_frames) + 1
+
+        def build():
+            def f(params, mp, ids, mask, ref, strength, key, top_p, temp,
+                  min_gen):
+                prep = M.prepare_conditioning(
+                    params, self.cfg, ids, mask, ref,
+                    max_frames=max_frames, style_strength=strength,
+                )
+                settings = M.ARSettings(
+                    top_p=top_p, temperature=temp,
+                    recovery_top_p=jnp.float32(0.85),
+                    recovery_temp=jnp.float32(1.2),
+                    min_gen_frames=min_gen, anti_loop=anti_loop,
+                )
+                carry = M.ar_generate(
+                    params, self.cfg, prep["cond_ar"], prep["txt_seq"],
+                    mask, key, settings, s,
+                    kv_caches=self._ar_kv(params, prep["txt_seq"], mask),
+                )
+                t = jnp.minimum(carry.first_eos, carry.t)  # [1]
+                frame_mask = jnp.arange(s)[None, :] < t[:, None]
+                toks = M.nar_refine(
+                    params, self.cfg, prep["cond_ar"], carry.tokens,
+                    mask=frame_mask,
+                )
+                wav = mimi_decode(mp, self.mimi_cfg, toks)  # [1, s*hop]
+                if pcm16:
+                    pcm = jnp.round(
+                        jnp.clip(wav.astype(jnp.float32), -1.0, 1.0) * 32767.0
+                    ).astype(jnp.int16)
+                    packed = jnp.concatenate(
+                        [pcm[0], t.astype(jnp.int16)]
+                    )
+                else:
+                    packed = jnp.concatenate(
+                        [wav[0].astype(jnp.float32), t.astype(jnp.float32)]
+                    )
+                return packed
+            return f
+
+        fn = self._fn(
+            ("synth_fused", lb, int(max_frames), bool(anti_loop), bool(pcm16)),
+            build,
+        )
+        packed = fn(
+            self.params, self.mimi_params, jnp.asarray(ids), jnp.asarray(mask),
+            ref, jnp.float32(style_strength), jax.random.PRNGKey(int(seed)),
+            jnp.float32(top_p), jnp.float32(temperature), jnp.int32(min_gen),
+        )
+        flat = np.asarray(packed)  # the ONE readback
+        t = int(flat[-1])
+        wav = flat[:-1][None][:, : t * self.mimi_cfg.hop_length]
+        return wav, t
+
     # -- batched synthesize (BASELINE config 4) ---------------------------
 
     def synthesize_batch_fused(
@@ -313,10 +398,12 @@ class Engine:
         temperature: float,
         anti_loop: bool,
         min_gen: int,
+        pcm16: bool = False,
     ):
         """Padded batch of utterances in 2 dispatches: batched conditioning +
         per-row AR decode, then one batched NAR + vocoder over the full
-        padded length. Returns (wav [B, S*hop] f32, lengths [B] frames)."""
+        padded length. Returns (wav [B, S*hop] f32 — or int16 when `pcm16`,
+        halving the device->host transfer — and lengths [B] frames)."""
         bsz = len(ids_rows)
         lb = pick_bucket(max(len(r) for r in ids_rows), self.rt.text_buckets)
         ids = np.zeros((bsz, lb), np.int32)
@@ -363,11 +450,17 @@ class Engine:
                     mask=frame_mask,
                 )
                 wav = mimi_decode(mp, self.mimi_cfg, toks)
+                if pcm16:
+                    wav = jnp.round(
+                        jnp.clip(wav.astype(jnp.float32), -1.0, 1.0) * 32767.0
+                    ).astype(jnp.int16)
                 return wav, lengths
             return f
 
         fn = self._fn(
-            ("synth_batch", bsz, lb, int(max_frames), bool(anti_loop)), build
+            ("synth_batch", bsz, lb, int(max_frames), bool(anti_loop),
+             bool(pcm16)),
+            build,
         )
         keys = jnp.stack([jax.random.PRNGKey(int(sd)) for sd in seeds])
         # per-row key derivation as in init_ar_carry(batch=1) for parity

@@ -315,14 +315,20 @@ def ar_single_step(
     )
     stopped = carry.stopped | (active & is_eos & ((t + 1) >= settings.min_gen_frames))
 
-    def freeze(new, old):
-        mask = active.reshape((-1,) + (1,) * (new.ndim - 1))
-        return jnp.where(mask, new, old)
+    def freeze(new, old, batch_axis=0):
+        shape = [1] * new.ndim
+        shape[batch_axis] = -1
+        return jnp.where(active.reshape(shape), new, old)
+
+    # the fused-kernel conv state is one packed [N_layers, B, CTX, D] buffer:
+    # its batch axis is axis 1, not 0
+    conv_axis = 1 if isinstance(kv_caches, PallasARContext) else 0
 
     return ARCarry(
         t=jnp.where(active, t + 1, t),
         conv_state=[
-            freeze(n, o) for n, o in zip(conv_state, carry.conv_state)
+            freeze(n, o, batch_axis=conv_axis)
+            for n, o in zip(conv_state, carry.conv_state)
         ],
         hist=freeze(hist, carry.hist),
         streak=jnp.where(active, streak, carry.streak),

@@ -36,6 +36,13 @@ def make_mesh(
     tp=1."""
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"make_mesh: need {n} devices, have {len(devices)} "
+            f"({devices[0].platform} backend). For an N-device CPU mesh set "
+            "JAX_PLATFORMS=cpu and XLA_FLAGS=--xla_force_host_platform_device_"
+            "count=N before JAX initializes."
+        )
     devices = devices[:n]
     if tp is None:
         tp = 2 if (n % 2 == 0 and n > 2) else 1

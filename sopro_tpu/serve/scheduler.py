@@ -9,11 +9,15 @@ per-session decode state *persistently on device*:
   the same `lax.scan` tick;
 * per-session conditioning and text KV caches live in batched buffers; a
   join scatters one row, a leave just frees the slot;
-* every tick advances all rows by `chunk_frames`, then one batched windowed
-  NAR pass + one mask-frozen streaming Mimi step vocodes the rows that
+* every tick advances all rows by `chunk_frames`, then a batched windowed
+  NAR pass + a mask-frozen streaming Mimi step vocodes the rows that
   emitted; finished rows are recycled and waiting sessions admitted.
 
-All device work is 3 jitted calls per tick regardless of batch occupancy.
+All device work is ONE jitted call per tick regardless of batch occupancy
+(AR chunk + NAR window + vocoder fused), and the tick's waveforms + all
+host-needed scalars come back in ONE packed device->host transfer — on a
+remote-attached device each extra dispatch/readback costs ~20 ms of fixed
+latency, which would otherwise dominate the tick.
 """
 
 from __future__ import annotations
@@ -121,6 +125,7 @@ class ContinuousBatcher:
         self.row_temp = jnp.full((b,), 1.05, jnp.float32)
         self.row_min_gen = jnp.full((b,), cfgm.min_gen_frames, jnp.int32)
         self.row_max_frames = jnp.full((b,), self.max_frames_cap, jnp.int32)
+        self.emitted = jnp.zeros((b,), jnp.int32)  # frames shipped per row
         self.mimi_state = init_mimi_stream_state(self.eng.mimi_cfg, b, dtype=self.eng.dtype)
 
         if mesh is not None:
@@ -133,6 +138,10 @@ class ContinuousBatcher:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.ticks = 0
+        # aggregate observability counters (surfaced via /v1/stats)
+        self.sessions_done = 0
+        self.total_audio_s = 0.0
+        self._ttfa_ms: List[float] = []  # last 100 sessions
 
         self._build_fns()
 
@@ -155,6 +164,7 @@ class ContinuousBatcher:
         self.cond = jax.device_put(self.cond, row)
         self.txt_kv = shard_rows(self.txt_kv)
         self.mimi_state = shard_rows(self.mimi_state)
+        self.emitted = jax.device_put(self.emitted, row)
         self.row_top_p = jax.device_put(self.row_top_p, row)
         self.row_temp = jax.device_put(self.row_temp, row)
         self.row_min_gen = jax.device_put(self.row_min_gen, row)
@@ -213,7 +223,10 @@ class ContinuousBatcher:
 
         self._join = jax.jit(join)
 
-        def tick(params, carry, cond, txt_kv, row):
+        def tick(params, mp, carry, cond, txt_kv, row, mimi_state, emitted):
+            """One fused tick: AR chunk for every row, windowed NAR over the
+            new frames, streaming vocoder step, and a packed
+            [waveforms | scalars] buffer so the host syncs exactly once."""
             settings = M.ARSettings(
                 top_p=row["top_p"],
                 temperature=row["temp"],
@@ -222,31 +235,29 @@ class ContinuousBatcher:
                 min_gen_frames=row["min_gen"],
                 anti_loop=True,
             )
-            # per-row max_frames: force-stop rows at their cap by flagging
-            # stopped when t reaches max_frames + 1
             carry = M.ar_generate_chunk(
                 params, cfgm, carry, cond, txt_kv, settings, cf
             )
+            # per-row max_frames: force-stop rows at their cap
             capped = carry.t >= (row["max_frames"] + 1)
             carry = carry._replace(stopped=carry.stopped | capped)
-            # pack everything the host inspects into one transfer
-            info = jnp.stack(
-                [carry.t, carry.first_eos, carry.stopped.astype(jnp.int32)]
+            valid = jnp.minimum(
+                jnp.minimum(carry.first_eos, carry.t), row["max_frames"] + 1
             )
-            return carry, info
+            n_new = jnp.maximum(valid - emitted, 0)
 
-        self._tick = jax.jit(tick)
-
-        def nar_win(params, cond, tokens, emitted, valid_t):
-            """Batched windowed NAR: window = frames [emitted+cf-W,
-            emitted+cf), masked to the reference context [emitted - nar_ctx,
-            valid_t) (src/sopro/streaming.py:81-98)."""
+            # windowed NAR: window = frames [emitted+cf-W, emitted+cf),
+            # masked to the reference context [emitted - nar_ctx, valid)
+            # (src/sopro/streaming.py:81-98)
             cond_pad = jnp.concatenate(
-                [jnp.zeros((cond.shape[0], W, cond.shape[-1]), cond.dtype), cond],
+                [jnp.zeros((cond.shape[0], W, cond.shape[-1]), cond.dtype),
+                 cond],
                 axis=1,
             )
             toks_pad = jnp.concatenate(
-                [jnp.zeros((tokens.shape[0], W), tokens.dtype), tokens], axis=1
+                [jnp.zeros((carry.tokens.shape[0], W), carry.tokens.dtype),
+                 carry.tokens],
+                axis=1,
             )
             start = emitted + cf  # per-row start into padded arrays
 
@@ -256,16 +267,31 @@ class ContinuousBatcher:
             win = jax.vmap(row_slice)(cond_pad, start)
             rvq = jax.vmap(row_slice)(toks_pad, start)
             orig = (emitted[:, None] + cf - W) + jnp.arange(W)[None]
-            mask = (orig >= 0) & (orig < valid_t[:, None])
-            return M.nar_refine(params, cfgm, win, rvq, mask=mask)
+            mask = (orig >= 0) & (orig < valid[:, None])
+            tokens_w = M.nar_refine(params, cfgm, win, rvq, mask=mask)
 
-        self._nar_win = jax.jit(nar_win)
+            chunk = tokens_w[:, W - cf:]  # frames [emitted, emitted+cf)
+            rows_emit = n_new > 0
+            wav, mimi_state = mimi_decode_step(
+                mp, eng.mimi_cfg, chunk, mimi_state, mask=rows_emit
+            )
+            emitted = jnp.where(rows_emit, valid, emitted)
 
-        def vocode(mp, codes, state, mask):
-            return mimi_decode_step(mp, eng.mimi_cfg, codes, state, mask=mask)
+            info = jnp.stack(
+                [carry.t, carry.first_eos, carry.stopped.astype(jnp.int32),
+                 n_new]
+            )
+            packed = jnp.concatenate(
+                [wav.astype(jnp.float32).ravel(),
+                 info.astype(jnp.float32).ravel()]
+            )
+            return carry, mimi_state, emitted, packed
 
-        self._vocode = jax.jit(vocode)
-        self._reset_rows = jax.jit(reset_stream_rows)
+        self._tick = jax.jit(tick)
+        self._reset_rows = jax.jit(
+            lambda st, em, rows: (reset_stream_rows(st, rows),
+                                  jnp.where(rows, 0, em))
+        )
 
     # ------------------------------------------------------------- lifecycle
 
@@ -309,11 +335,19 @@ class ContinuousBatcher:
         seed: int = 0,
     ) -> SessionHandle:
         """Queue a session; returns immediately with a handle whose `chunks()`
-        yields waveform chunks as the batch produces them."""
+        yields waveform chunks as the batch produces them. Raises ValueError
+        for text longer than the scheduler's token bucket (no silent
+        truncation — callers surface a 400)."""
+        ids = self.tts.encode_text(text)
+        if len(ids) > self.L:
+            raise ValueError(
+                f"text encodes to {len(ids)} tokens, over the scheduler "
+                f"bucket of {self.L}; shorten the text or raise text_bucket"
+            )
         handle = SessionHandle(sid=id(object()))
         req = {
             "handle": handle,
-            "text": text,
+            "ids": ids,
             "ref": ref,
             "top_p": float(top_p),
             "temperature": float(temperature),
@@ -347,7 +381,7 @@ class ContinuousBatcher:
                 continue
             slot = free[0]
             try:
-                ids = self.tts.encode_text(req["text"])[: self.L]
+                ids = req["ids"]
                 ids_p = np.zeros((1, self.L), np.int32)
                 ids_p[0, : len(ids)] = ids
                 mask = np.zeros((1, self.L), bool)
@@ -375,8 +409,8 @@ class ContinuousBatcher:
                 self.row_temp = row["temp"]
                 self.row_min_gen = row["min_gen"]
                 self.row_max_frames = row["max_frames"]
-                self.mimi_state = self._reset_rows(
-                    self.mimi_state,
+                self.mimi_state, self.emitted = self._reset_rows(
+                    self.mimi_state, self.emitted,
                     jnp.asarray(np.arange(self.B) == slot),
                 )
                 self._slots[slot] = _Slot(
@@ -424,50 +458,29 @@ class ContinuousBatcher:
             "top_p": self.row_top_p, "temp": self.row_temp,
             "min_gen": self.row_min_gen, "max_frames": self.row_max_frames,
         }
-        self.carry, info = self._tick(
-            self.eng.params, self.carry, self.cond, self.txt_kv, row
+        self.carry, self.mimi_state, self.emitted, packed = self._tick(
+            self.eng.params, self.eng.mimi_params, self.carry, self.cond,
+            self.txt_kv, row, self.mimi_state, self.emitted,
         )
         self.ticks += 1
-        info = np.asarray(info)  # one device->host transfer per tick
-        t, first_eos, stopped = info[0], info[1], info[2].astype(bool)
+        flat = np.asarray(packed)  # the ONE device->host transfer per tick
+        nwav = self.B * self.cf * self.hop
+        wav = flat[:nwav].reshape(self.B, self.cf * self.hop)
+        info = flat[nwav:].reshape(4, self.B).astype(np.int64)
+        t, first_eos, stopped, n_new = (
+            info[0], info[1], info[2].astype(bool), info[3],
+        )
 
-        emitting: List[int] = []
-        emitted_arr = np.zeros((self.B,), np.int32)
-        valid_arr = np.zeros((self.B,), np.int32)
-        n_new_arr = np.zeros((self.B,), np.int32)
         for i, s in enumerate(self._slots):
-            if s is None:
+            if s is None or n_new[i] <= 0:
                 continue
-            valid = int(min(first_eos[i], t[i], s.max_frames + 1))
-            n_new = valid - s.emitted
-            if n_new > 0:
-                emitting.append(i)
-                emitted_arr[i] = s.emitted
-                valid_arr[i] = valid
-                n_new_arr[i] = n_new
-
-        if emitting:
-            tokens_w = self._nar_win(
-                self.eng.params, self.cond, self.carry.tokens,
-                jnp.asarray(emitted_arr), jnp.asarray(valid_arr),
-            )  # [B, W, Q]
-            chunk = tokens_w[:, self.W - self.cf :]  # frames [emitted, emitted+cf)
-            mask = np.zeros((self.B,), bool)
-            mask[emitting] = True
-            wav, self.mimi_state = self._vocode(
-                self.eng.mimi_params, chunk, self.mimi_state, jnp.asarray(mask)
-            )
-            wav = np.asarray(wav)
-            for i in emitting:
-                s = self._slots[i]
-                n_new = int(n_new_arr[i])
-                s.handle.out.put(wav[i : i + 1, : n_new * self.hop].copy())
-                if s.handle.first_chunk_s is None:
-                    s.handle.first_chunk_s = (
-                        time.perf_counter() - s.handle.created_s
-                    )
-                s.emitted += n_new
-                s.handle.frames = s.emitted
+            s.handle.out.put(wav[i : i + 1, : int(n_new[i]) * self.hop].copy())
+            if s.handle.first_chunk_s is None:
+                s.handle.first_chunk_s = (
+                    time.perf_counter() - s.handle.created_s
+                )
+            s.emitted += int(n_new[i])
+            s.handle.frames = s.emitted
 
         # retire finished rows
         for i, s in enumerate(self._slots):
@@ -477,4 +490,28 @@ class ContinuousBatcher:
             valid = int(min(first_eos[i], t[i], s.max_frames + 1))
             if done and s.emitted >= valid:
                 s.handle.out.put(None)
+                self.sessions_done += 1
+                self.total_audio_s += (
+                    s.emitted * self.hop / self.eng.mimi_cfg.sampling_rate
+                )
+                if s.handle.first_chunk_s is not None:
+                    self._ttfa_ms.append(s.handle.first_chunk_s * 1000.0)
+                    del self._ttfa_ms[:-100]
                 self._slots[i] = None
+
+    def stats(self) -> Dict[str, Any]:
+        """Aggregate serving metrics (SURVEY.md §5 observability)."""
+        live = sum(1 for s in self._slots if s is not None)
+        ttfa = sorted(self._ttfa_ms)
+        return {
+            "slots": self.B,
+            "active_sessions": live,
+            "waiting": self._waiting.qsize(),
+            "ticks": self.ticks,
+            "chunk_frames": self.cf,
+            "sessions_done": self.sessions_done,
+            "total_audio_s": round(self.total_audio_s, 2),
+            "ttfa_p50_ms": (
+                round(ttfa[len(ttfa) // 2], 1) if ttfa else None
+            ),
+        }

@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 import io
 import os
+import re
 import struct
 import tempfile
 import threading
@@ -68,25 +69,52 @@ def sha256_bytes(data: bytes) -> str:
     return hashlib.sha256(data).hexdigest()
 
 
+_REF_ID_RE = re.compile(r"^[0-9a-f]{64}$")
+
+
+def valid_ref_id(rid: str) -> bool:
+    """ref_ids are always sha256 hex digests; anything else (e.g. a path
+    traversal attempt) is rejected before touching the filesystem."""
+    return bool(_REF_ID_RE.match(rid or ""))
+
+
 # --------------------------------------------------------------------------
-# prepared-reference (de)serialization — pure arrays, np.savez-able
+# prepared-reference (de)serialization — pure named arrays, restart-safe
+# (the reference's cache survives restarts via torch.load of a pickled
+# PreparedReference, demo/server.py:89-117; ours reconstructs the pytree
+# from named npz keys, no live template or pickle needed)
 # --------------------------------------------------------------------------
 
 
 def save_prepared_reference(path: str, ref) -> None:
-    import jax
+    arrays = {"sv_ref": np.asarray(ref.sv_ref), "ref_seq": np.asarray(ref.ref_seq)}
+    for i, kv in enumerate(ref.ref_kv):
+        for name, leaf in kv.items():
+            arrays[f"kv{i}_{name}"] = np.asarray(leaf)
+    np.savez(path, **arrays)
 
-    leaves = jax.tree_util.tree_leaves(ref)
-    np.savez(path, *[np.asarray(x) for x in leaves])
 
-
-def load_prepared_reference(path: str, template):
-    import jax
+def load_prepared_reference(path: str, template=None):
+    from sopro_tpu.models.sopro import PreparedReference
 
     with np.load(path, allow_pickle=False) as z:
-        leaves = [z[k] for k in z.files]
-    treedef = jax.tree_util.tree_structure(template)
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+        if "sv_ref" not in z.files:  # positional legacy format: refuse clearly
+            raise ValueError(
+                f"{path}: legacy positional reference cache; re-cache the "
+                "reference audio."
+            )
+        sv_ref = z["sv_ref"]
+        ref_seq = z["ref_seq"]
+        kvs = []
+        i = 0
+        while f"kv{i}_k" in z.files:
+            kvs.append({
+                name: z[f"kv{i}_{name}"]
+                for name in ("k", "v", "mask")
+                if f"kv{i}_{name}" in z.files
+            })
+            i += 1
+    return PreparedReference(sv_ref=sv_ref, ref_seq=ref_seq, ref_kv=tuple(kvs))
 
 
 # --------------------------------------------------------------------------
@@ -115,7 +143,6 @@ CFG = ServerConfig()
 _state_lock = threading.Lock()
 _tts = None
 _batcher = None
-_ref_template = None
 _ref_cache_lock = threading.Lock()
 
 
@@ -161,13 +188,13 @@ def sv_cache_path(rid: str, ref_seconds: float) -> str:
 
 def get_or_compute_ref(tts, data: bytes, *, suffix: str, ref_seconds: float):
     """sha256-keyed disk cache of PreparedReference pytrees
-    (reference: demo/server.py:89-117, minus the pickle — pure arrays)."""
-    global _ref_template
+    (reference: demo/server.py:89-117, minus the pickle — pure named arrays,
+    loadable after a restart with no in-process state)."""
     rid = sha256_bytes(data)
     path = sv_cache_path(rid, ref_seconds)
     with _ref_cache_lock:
-        if os.path.exists(path) and _ref_template is not None:
-            return load_prepared_reference(path, _ref_template)
+        if os.path.exists(path):
+            return load_prepared_reference(path)
         with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
             f.write(data)
             tmp = f.name
@@ -177,7 +204,6 @@ def get_or_compute_ref(tts, data: bytes, *, suffix: str, ref_seconds: float):
             )
         finally:
             os.unlink(tmp)
-        _ref_template = ref
         save_prepared_reference(path, ref)
         return ref
 
@@ -201,14 +227,7 @@ def build_app():
     @app.get("/v1/stats")
     def stats():
         _, batcher = get_tts()
-        live = sum(1 for s in batcher._slots if s is not None)
-        return {
-            "slots": batcher.B,
-            "active_sessions": live,
-            "waiting": batcher._waiting.qsize(),
-            "ticks": batcher.ticks,
-            "chunk_frames": batcher.cf,
-        }
+        return batcher.stats()
 
     @app.get("/")
     def index():
@@ -218,13 +237,15 @@ def build_app():
                 return HTMLResponse(f.read())
         return HTMLResponse("<h1>sopro-tpu</h1><p>POST /v1/audio/speech</p>")
 
+    # NOTE: endpoints are plain `def` on purpose: Starlette runs them in its
+    # threadpool, so the blocking model load / device compute / queue waits
+    # inside never stall the event loop (concurrent requests keep streaming).
     @app.post("/v1/reference/cache")
-    async def cache_reference(
+    def cache_reference(
         ref_audio: UploadFile = File(...),
         ref_seconds: Optional[float] = Form(None),
     ):
-        data = await ref_audio.read()
-        await ref_audio.close()
+        data = ref_audio.file.read()
         if not data:
             raise HTTPException(status_code=400, detail="Empty `ref_audio` upload.")
         tts, _ = get_tts()
@@ -234,7 +255,7 @@ def build_app():
         return {"ref_id": sha256_bytes(data), "ref_seconds": rs}
 
     @app.post("/v1/audio/speech")
-    async def speech(
+    def speech(
         input: str = Form(...),
         stream: bool = Form(False),
         ref_id: Optional[str] = Form(None),
@@ -259,16 +280,20 @@ def build_app():
             )
 
         if ref_id is not None:
+            if not valid_ref_id(ref_id):
+                raise HTTPException(
+                    status_code=400,
+                    detail="`ref_id` must be a sha256 hex digest.",
+                )
             p = sv_cache_path(ref_id, rs)
-            if not os.path.exists(p) or _ref_template is None:
+            if not os.path.exists(p):
                 raise HTTPException(
                     status_code=404,
                     detail="Cached reference not found. Cache it first.",
                 )
-            ref = load_prepared_reference(p, _ref_template)
+            ref = load_prepared_reference(p)
         else:
-            data = await ref_audio.read()
-            await ref_audio.close()
+            data = ref_audio.file.read()
             if not data:
                 raise HTTPException(status_code=400, detail="Empty `ref_audio` upload.")
             suffix = os.path.splitext(ref_audio.filename or "")[-1] or ".wav"
@@ -280,10 +305,14 @@ def build_app():
         temperature = float(max(0.05, min(float(temperature), 3.0)))
         style_strength = float(max(0.0, min(float(style_strength), 3.0)))
 
-        handle = batcher.submit(
-            input, ref, top_p=top_p, temperature=temperature,
-            style_strength=style_strength, max_frames=max_frames, seed=seed,
-        )
+        try:
+            handle = batcher.submit(
+                input, ref, top_p=top_p, temperature=temperature,
+                style_strength=style_strength, max_frames=max_frames,
+                seed=seed,
+            )
+        except ValueError as e:  # over-length text
+            raise HTTPException(status_code=400, detail=str(e))
 
         if not stream:
             chunks = list(handle.chunks())

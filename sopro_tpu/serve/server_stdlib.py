@@ -120,14 +120,7 @@ class Handler(BaseHTTPRequestHandler):
             return self._json(200, {"ok": True})
         if self.path == "/v1/stats":
             _, batcher = core.get_tts()
-            live = sum(1 for s in batcher._slots if s is not None)
-            return self._json(200, {
-                "slots": batcher.B,
-                "active_sessions": live,
-                "waiting": batcher._waiting.qsize(),
-                "ticks": batcher.ticks,
-                "chunk_frames": batcher.cf,
-            })
+            return self._json(200, batcher.stats())
         if self.path == "/" or self.path.startswith("/static/"):
             static_dir = os.path.join(os.path.dirname(__file__), "static")
             rel = "index.html" if self.path == "/" else self.path[len("/static/"):]
@@ -190,13 +183,17 @@ class Handler(BaseHTTPRequestHandler):
             )
 
         if ref_id is not None:
+            if not core.valid_ref_id(ref_id):
+                return self._json(
+                    400, {"detail": "`ref_id` must be a sha256 hex digest."}
+                )
             p = core.sv_cache_path(ref_id, rs)
-            if not os.path.exists(p) or core._ref_template is None:
+            if not os.path.exists(p):
                 return self._json(
                     404,
                     {"detail": "Cached reference not found. Cache it first."},
                 )
-            ref = core.load_prepared_reference(p, core._ref_template)
+            ref = core.load_prepared_reference(p)
         else:
             filename, data = files["ref_audio"]
             suffix = os.path.splitext(filename or "")[-1] or ".wav"
@@ -213,10 +210,13 @@ class Handler(BaseHTTPRequestHandler):
         stream = str(fields.get("stream", "false")).lower() in ("1", "true", "yes")
         seed = int(fields.get("seed", 0))
 
-        handle = batcher.submit(
-            text, ref, top_p=top_p, temperature=temperature,
-            style_strength=style, max_frames=max_frames, seed=seed,
-        )
+        try:
+            handle = batcher.submit(
+                text, ref, top_p=top_p, temperature=temperature,
+                style_strength=style, max_frames=max_frames, seed=seed,
+            )
+        except ValueError as e:  # over-length text
+            return self._json(400, {"detail": str(e)})
 
         if not stream:
             import numpy as np

@@ -18,26 +18,62 @@ $("refFile").addEventListener("change", (e) => {
   $("refStatus").textContent = refBlob ? `file: ${refBlob.name}` : "";
 });
 
+// Mic recordings are decoded client-side and re-encoded as 16-bit WAV before
+// upload (the server's stdlib loader reads WAV; raw MediaRecorder webm/ogg
+// would need libsndfile server-side — reference does the same,
+// demo/static/app.js:946-966).
 $("recBtn").addEventListener("click", async () => {
   const stream = await navigator.mediaDevices.getUserMedia({ audio: true });
   const rec = new MediaRecorder(stream);
   const parts = [];
   rec.ondataavailable = (e) => parts.push(e.data);
-  rec.onstop = () => {
-    refBlob = new Blob(parts, { type: rec.mimeType });
-    refId = null;
-    $("refStatus").textContent = "recorded clip ready";
+  rec.onstop = async () => {
     stream.getTracks().forEach((t) => t.stop());
+    try {
+      const raw = new Blob(parts, { type: rec.mimeType });
+      const ctx = new AudioContext();
+      const decoded = await ctx.decodeAudioData(await raw.arrayBuffer());
+      const mono = decoded.getChannelData(0);
+      refBlob = new Blob([encodeWav(mono, decoded.sampleRate)],
+                         { type: "audio/wav" });
+      refBlob.name = "ref.wav";
+      refId = null;
+      $("refStatus").textContent =
+        `recorded ${decoded.duration.toFixed(1)}s (wav ready)`;
+      ctx.close();
+    } catch (e) {
+      $("refStatus").textContent = `decode failed: ${e}`;
+    }
   };
   rec.start();
   $("refStatus").textContent = "recording…";
   setTimeout(() => rec.stop(), 6000);
 });
 
+// mono float32 [-1,1] -> 16-bit PCM WAV bytes
+function encodeWav(samples, sr) {
+  const buf = new ArrayBuffer(44 + samples.length * 2);
+  const dv = new DataView(buf);
+  const writeStr = (off, s) => {
+    for (let i = 0; i < s.length; i++) dv.setUint8(off + i, s.charCodeAt(i));
+  };
+  writeStr(0, "RIFF"); dv.setUint32(4, 36 + samples.length * 2, true);
+  writeStr(8, "WAVE"); writeStr(12, "fmt "); dv.setUint32(16, 16, true);
+  dv.setUint16(20, 1, true); dv.setUint16(22, 1, true);
+  dv.setUint32(24, sr, true); dv.setUint32(28, sr * 2, true);
+  dv.setUint16(32, 2, true); dv.setUint16(34, 16, true);
+  writeStr(36, "data"); dv.setUint32(40, samples.length * 2, true);
+  for (let i = 0; i < samples.length; i++) {
+    const s = Math.max(-1, Math.min(1, samples[i]));
+    dv.setInt16(44 + i * 2, s < 0 ? s * 32768 : s * 32767, true);
+  }
+  return buf;
+}
+
 $("cacheBtn").addEventListener("click", async () => {
   if (!refBlob) { $("refStatus").textContent = "pick or record audio first"; return; }
   const fd = new FormData();
-  fd.append("ref_audio", refBlob, refBlob.name || "ref.webm");
+  fd.append("ref_audio", refBlob, refBlob.name || "ref.wav");
   const r = await fetch("/v1/reference/cache", { method: "POST", body: fd });
   if (!r.ok) { $("refStatus").textContent = `cache failed: ${r.status}`; return; }
   const j = await r.json();
@@ -46,25 +82,78 @@ $("cacheBtn").addEventListener("click", async () => {
 });
 
 // ---------- PCM playback ---------------------------------------------------
+// AudioWorklet ring-buffer player for glitch-free low-latency playback
+// (reference: demo/static/app.js:130-183); falls back to scheduled
+// AudioBufferSource nodes where worklets are unavailable.
+
+const WORKLET_SRC = `
+class SproRingPlayer extends AudioWorkletProcessor {
+  constructor() {
+    super();
+    this.queue = [];
+    this.offset = 0;
+    this.port.onmessage = (e) => this.queue.push(e.data);
+  }
+  process(inputs, outputs) {
+    const out = outputs[0][0];
+    let i = 0;
+    while (i < out.length && this.queue.length) {
+      const cur = this.queue[0];
+      const n = Math.min(out.length - i, cur.length - this.offset);
+      out.set(cur.subarray(this.offset, this.offset + n), i);
+      i += n;
+      this.offset += n;
+      if (this.offset >= cur.length) { this.queue.shift(); this.offset = 0; }
+    }
+    for (; i < out.length; i++) out[i] = 0;
+    return true;
+  }
+}
+registerProcessor("spro-player", SproRingPlayer);
+`;
 
 class PCMPlayer {
   constructor(sampleRate) {
     this.ctx = new AudioContext();
     this.srcRate = sampleRate;
     this.nextTime = 0;
+    this.node = null;
+    this.ready = this._init();
   }
-  push(int16) {
-    // linear resample source rate -> context rate
+  async _init() {
+    if (!this.ctx.audioWorklet) return; // fallback path stays
+    try {
+      const url = URL.createObjectURL(
+        new Blob([WORKLET_SRC], { type: "text/javascript" }));
+      await this.ctx.audioWorklet.addModule(url);
+      this.node = new AudioWorkletNode(this.ctx, "spro-player",
+                                       { outputChannelCount: [1] });
+      this.node.connect(this.ctx.destination);
+    } catch (e) {
+      this.node = null; // ScriptProcessor-era browsers: buffer-source fallback
+    }
+  }
+  _resample(int16) {
     const ratio = this.ctx.sampleRate / this.srcRate;
-    const outLen = Math.floor(int16.length * ratio);
-    const buf = this.ctx.createBuffer(1, Math.max(outLen, 1), this.ctx.sampleRate);
-    const ch = buf.getChannelData(0);
+    const outLen = Math.max(Math.floor(int16.length * ratio), 1);
+    const out = new Float32Array(outLen);
     for (let i = 0; i < outLen; i++) {
       const pos = i / ratio;
       const i0 = Math.floor(pos), i1 = Math.min(i0 + 1, int16.length - 1);
       const frac = pos - i0;
-      ch[i] = ((1 - frac) * int16[i0] + frac * int16[i1]) / 32768;
+      out[i] = ((1 - frac) * int16[i0] + frac * int16[i1]) / 32768;
     }
+    return out;
+  }
+  async push(int16) {
+    await this.ready;
+    const f32 = this._resample(int16);
+    if (this.node) {
+      this.node.port.postMessage(f32, [f32.buffer]);
+      return;
+    }
+    const buf = this.ctx.createBuffer(1, f32.length, this.ctx.sampleRate);
+    buf.getChannelData(0).set(f32);
     const src = this.ctx.createBufferSource();
     src.buffer = buf;
     src.connect(this.ctx.destination);
@@ -172,7 +261,7 @@ function buildForm(stream) {
   fd.append("style_strength", $("style").value);
   fd.append("max_frames", $("maxFrames").value);
   if (refId) fd.append("ref_id", refId);
-  else if (refBlob) fd.append("ref_audio", refBlob, refBlob.name || "ref.webm");
+  else if (refBlob) fd.append("ref_audio", refBlob, refBlob.name || "ref.wav");
   else { setStatus("cache or attach a reference first"); return null; }
   return fd;
 }

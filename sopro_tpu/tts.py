@@ -234,20 +234,47 @@ class SoproTTS:
         min_gen_frames: Optional[int] = None,
         seed: int = 0,
         pcm16: bool = False,
+        fused: Optional[bool] = None,
     ) -> np.ndarray:
         """-> wav [1, S] @ 24 kHz (reference: src/sopro/model.py:531-575);
         float32 by default, int16 with `pcm16=True` (converted on device —
         halves the transfer; used by the server/CLI whose outputs are 16-bit
-        regardless)."""
+        regardless).
+
+        `fused=None` (auto) picks between two execution plans:
+        * fused single dispatch (conditioning + AR + NAR + vocoder in one jit,
+          one readback) — wins for long-form requests, where the fixed
+          per-dispatch/readback latency of a remote device dominates;
+        * adaptive two-dispatch — NAR + vocoder run on an EOS-sized frame
+          bucket, which wins when generation typically stops well before
+          `max_frames` (short interactive requests with a high cap).
+        Auto uses fused when max_frames >= 256."""
         if ref is None:
             ref = self.prepare_reference(
                 ref_audio_path=ref_audio_path,
                 ref_tokens_tq=ref_tokens_tq,
                 ref_seconds=ref_seconds,
             )
-        # fused fast path: AR (tokens stay on device) -> one NAR+vocoder
-        # dispatch -> single waveform readback
         ids = self.encode_text(text)
+        style = float(
+            style_strength if style_strength is not None
+            else self.cfg.style_strength
+        )
+        if fused is None:
+            fused = int(max_frames) >= 256
+        if fused:
+            wav, t = self.engine.synthesize_fused(
+                ids, ref, max_frames=max_frames, style_strength=style,
+                seed=seed, top_p=top_p, temperature=temperature,
+                anti_loop=anti_loop,
+                min_gen=int(min_gen_frames or self.cfg.min_gen_frames),
+                pcm16=pcm16,
+            )
+            if t <= 0:
+                return np.zeros((1, 0), np.int16 if pcm16 else np.float32)
+            return wav if not pcm16 else wav.astype(np.int16)
+        # adaptive path: AR (tokens stay on device) -> one NAR+vocoder
+        # dispatch over an EOS-sized bucket -> single waveform readback
         prep = self.engine.prepare_conditioning(
             ids, ref, max_frames=max_frames,
             style_strength=float(
@@ -281,11 +308,13 @@ class SoproTTS:
         ref_seconds: Optional[float] = None,
         min_gen_frames: Optional[int] = None,
         seeds=None,
+        pcm16: bool = False,
     ):
         """Batched synthesis (BASELINE config 4): N utterances decode as one
         padded batch — per-row AR with independent EOS, one batched NAR +
-        vocoder pass. Returns a list of [1, S_i] waveforms. No reference
-        counterpart (the reference is strictly single-utterance)."""
+        vocoder pass. Returns a list of [1, S_i] waveforms (float32, or int16
+        with `pcm16=True` — converted on device, halving the transfer). No
+        reference counterpart (the reference is strictly single-utterance)."""
         import jax
         import jax.numpy as jnp
 
@@ -315,6 +344,7 @@ class SoproTTS:
             seeds=seeds, top_p=top_p, temperature=temperature,
             anti_loop=anti_loop,
             min_gen=int(min_gen_frames or self.cfg.min_gen_frames),
+            pcm16=pcm16,
         )
         hop = self.engine.mimi_cfg.hop_length
         return [

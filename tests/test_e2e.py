@@ -142,6 +142,29 @@ def test_synthesize_pcm16_matches_float(pair, rng):
         assert f.getnframes() == wp.shape[1]
 
 
+def test_synthesize_fused_matches_adaptive(pair, rng):
+    """The single-dispatch fused plan (conditioning + AR + NAR + vocoder in
+    one jit) must produce the same waveform as the adaptive two-dispatch
+    plan: same RNG path, and the NAR frame mask makes the full-bucket pass
+    numerically identical to the EOS-sized-bucket pass."""
+    _, tts = pair
+    ref_tokens = rng.integers(0, CFG["codebook_size"], size=(10, CFG["num_codebooks"]))
+    pref = tts.engine.prepare_reference(ref_tokens.astype(np.int32))
+
+    adaptive = tts.synthesize("fused check", ref=pref,
+                              max_frames=CFG["max_frames"], seed=11,
+                              fused=False)
+    fused = tts.synthesize("fused check", ref=pref,
+                           max_frames=CFG["max_frames"], seed=11, fused=True)
+    assert fused.shape == adaptive.shape
+    np.testing.assert_allclose(fused, adaptive, rtol=1e-5, atol=1e-6)
+
+    fused16 = tts.synthesize("fused check", ref=pref,
+                             max_frames=CFG["max_frames"], seed=11,
+                             fused=True, pcm16=True)
+    assert fused16.dtype == np.int16 and fused16.shape == fused.shape
+
+
 def test_stream_invariants(pair, rng):
     """Concatenated stream covers exactly the same frame count as the
     non-streaming path for the same seed (the AR token sequence is identical

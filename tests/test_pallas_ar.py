@@ -99,6 +99,43 @@ def test_full_generate_pallas_vs_xla(setup):
     assert int(got.first_eos[0]) == int(ref.first_eos[0])
 
 
+def test_full_generate_pallas_batch(setup):
+    """B>1 decode through ar_generate with a PallasARContext: the per-row
+    freeze must mask the packed [N, B, CTX, D] conv buffer on its batch axis
+    (axis 1) — regression test for the ADVICE r1 finding — and per-row
+    results must match the XLA path exactly."""
+    from sopro_tpu.ops.pallas_ar import PallasARContext
+
+    cfg, params, _, stacked, _, _, _ = setup
+    b, l = 2, 12
+    txt = jax.random.normal(jax.random.PRNGKey(6), (b, l, cfg.d_model))
+    mask = jnp.ones((b, l), bool)
+    kvs = G.build_text_kv_caches(params["ar"], cfg, txt, mask)
+    kv_k = jnp.stack([kv["k"] for kv in kvs if kv is not None])
+    kv_v = jnp.stack([kv["v"] for kv in kvs if kv is not None])
+
+    cond = jax.random.normal(
+        jax.random.PRNGKey(7), (b, cfg.max_frames + 1, cfg.d_model)
+    )
+    settings = M.default_ar_settings(min_gen_frames=1)
+    dkey = jax.random.PRNGKey(9)
+
+    ref = M.ar_generate(
+        params, cfg, cond, txt, mask, dkey, settings, cfg.max_frames + 1,
+        kv_caches=kvs,
+    )
+    ctx = PallasARContext(stacked=stacked, kv_k=kv_k, kv_v=kv_v, mask=mask)
+    got = M.ar_generate(
+        params, cfg, cond, txt, mask, dkey, settings, cfg.max_frames + 1,
+        kv_caches=ctx,
+    )
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+    np.testing.assert_array_equal(
+        np.asarray(got.first_eos), np.asarray(ref.first_eos)
+    )
+
+
 def test_pallas_batch_rows(setup, rng):
     """Batched rows (continuous batching uses B > 1)."""
     cfg, params, _, stacked, kv_k, kv_v, _ = setup

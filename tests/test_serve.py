@@ -171,7 +171,7 @@ def test_mesh_sharded_batcher_matches_solo(tts):
 def test_cancel_frees_slot(tts, batcher):
     """A cancelled session stops decoding and its slot is recycled for the
     next waiting session (client-disconnect semantics)."""
-    ha = batcher.submit("long running one", _ref(tts, seed=0), seed=41)
+    ha = batcher.submit("long run one", _ref(tts, seed=0), seed=41)
     _first = ha.out.get()  # session is live
     ha.cancel()
     # drain: must terminate (None) promptly rather than decode to max_frames
@@ -187,6 +187,42 @@ def test_cancel_frees_slot(tts, batcher):
     hb = batcher.submit("after cancel", _ref(tts, seed=0), seed=42)
     total = sum(c.shape[1] for c in hb.chunks())
     assert total > 0
+
+
+def test_ref_cache_survives_restart(tts, tmp_path):
+    """PreparedReference npz round-trip with NO live template: the named-key
+    format reconstructs the pytree from the file alone, so a cached ref_id
+    keeps working after a server restart (reference behavior:
+    demo/server.py:89-117). Regression for VERDICT r1 'missing #2'."""
+    import jax
+
+    from sopro_tpu.serve import server as core
+
+    ref = _ref(tts, seed=0)
+    path = str(tmp_path / "cached.npz")
+    core.save_prepared_reference(path, ref)
+
+    # "restart": reconstruct purely from disk (no template argument)
+    loaded = core.load_prepared_reference(path)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and it must actually synthesize
+    wav = tts.synthesize("after restart", ref=loaded, max_frames=8, seed=3)
+    want = tts.synthesize("after restart", ref=ref, max_frames=8, seed=3)
+    np.testing.assert_allclose(wav, want, rtol=1e-5, atol=1e-6)
+
+
+def test_ref_id_validation():
+    from sopro_tpu.serve.server import valid_ref_id
+
+    assert valid_ref_id("0" * 64)
+    assert valid_ref_id("a1b2" * 16)
+    assert not valid_ref_id("../../etc/passwd")
+    assert not valid_ref_id("A" * 64)  # uppercase hex is not produced
+    assert not valid_ref_id("0" * 63)
+    assert not valid_ref_id("")
+    assert not valid_ref_id(None)
 
 
 def _multipart(fields, files):
@@ -246,7 +282,6 @@ def test_server_http_contract(tts, monkeypatch, tmp_path):
     batcher.start()
     monkeypatch.setattr(core, "_tts", tts)
     monkeypatch.setattr(core, "_batcher", batcher)
-    monkeypatch.setattr(core, "_ref_template", None)
     monkeypatch.setattr(core.CFG, "ref_cache_dir", str(tmp_path / "refcache"))
 
     httpd = srv.serve("127.0.0.1", 0)
@@ -279,16 +314,31 @@ def test_server_http_contract(tts, monkeypatch, tmp_path):
         assert code == 200, body
         rid = json.loads(body)["ref_id"]
 
-        # missing cached ref -> 404 (reference behavior)
+        # malformed ref_id (path-traversal shape) -> 400, never a file probe
         code, _, _b = _post(
             f"{base}/v1/audio/speech",
-            {"input": "hi", "ref_id": "deadbeef", "stream": "false"},
+            {"input": "hi", "ref_id": "../../etc/passwd", "stream": "false"},
+        )
+        assert code == 400
+
+        # well-formed but unknown digest -> 404 (reference behavior)
+        code, _, _b = _post(
+            f"{base}/v1/audio/speech",
+            {"input": "hi", "ref_id": "0" * 64, "stream": "false"},
         )
         assert code == 404
 
         # neither ref -> 400
         code, _, _b = _post(f"{base}/v1/audio/speech", {"input": "hi"})
         assert code == 400
+
+        # over-length text -> 400 (no silent truncation; bucket is 16)
+        code, _, body400 = _post(
+            f"{base}/v1/audio/speech",
+            {"input": "x " * 200, "ref_id": rid, "stream": "false",
+             "ref_seconds": "0.016"},
+        )
+        assert code == 400, body400
 
         # non-streaming -> complete WAV
         code, headers, body = _post(

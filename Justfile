@@ -1,6 +1,11 @@
 test:
     python -m pytest tests/ -q
 
+# real-hardware lane: Pallas kernels under the actual Mosaic lowering plus an
+# on-chip end-to-end synthesize (results recorded in PARITY.md)
+test-tpu:
+    SOPRO_TEST_TPU=1 python -m pytest tests/ -q
+
 bench:
     python bench.py
 

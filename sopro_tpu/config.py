@@ -146,6 +146,10 @@ class RuntimeConfig:
     nar_pad_multiple: int = 64
     # AR scan chunk size for streaming-mode decode.
     ar_chunk: int = 8
+    # synthesize_batch sub-batch size: groups pipeline so one group's
+    # device->host waveform transfer overlaps the next group's compute.
+    # 0 disables grouping (single fused batch).
+    batch_pipeline_group: int = 8
     # Fused Pallas kernel for the AR decode step (TPU backends).
     use_pallas_ar: bool = False
 

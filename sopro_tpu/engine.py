@@ -399,11 +399,50 @@ class Engine:
         anti_loop: bool,
         min_gen: int,
         pcm16: bool = False,
+        mesh=None,
     ):
-        """Padded batch of utterances in 2 dispatches: batched conditioning +
-        per-row AR decode, then one batched NAR + vocoder over the full
-        padded length. Returns (wav [B, S*hop] f32 — or int16 when `pcm16`,
-        halving the device->host transfer — and lengths [B] frames)."""
+        """Padded batch of utterances -> (wav [B, S*hop], lengths [B]);
+        float32, or int16 when `pcm16` (halves the device->host transfer)."""
+        packed = self.synthesize_batch_dispatch(
+            ids_rows, ref_batched, max_frames=max_frames,
+            style_strength=style_strength, seeds=seeds, top_p=top_p,
+            temperature=temperature, anti_loop=anti_loop, min_gen=min_gen,
+            pcm16=pcm16, mesh=mesh,
+        )
+        return self.synthesize_batch_read(packed)
+
+    def synthesize_batch_read(self, packed_dev):
+        """Force the readback of a dispatched batch: the per-row generated
+        length rides in the last column of the waveform buffer (single
+        packed transfer)."""
+        flat = np.asarray(packed_dev)
+        lengths = flat[:, -1].astype(np.int64)
+        return flat[:, :-1], lengths
+
+    def synthesize_batch_dispatch(
+        self,
+        ids_rows,
+        ref_batched,
+        *,
+        max_frames: int,
+        style_strength: float,
+        seeds,
+        top_p: float,
+        temperature: float,
+        anti_loop: bool,
+        min_gen: int,
+        pcm16: bool = False,
+        mesh=None,
+    ):
+        """ONE dispatch for a padded batch of utterances: batched
+        conditioning + per-row AR decode + one batched NAR + vocoder over the
+        full padded length, returning the packed [B, S*hop + 1] device buffer
+        WITHOUT syncing — callers can pipeline several sub-batches so each
+        group's device->host transfer overlaps the next group's compute.
+
+        `mesh`: optional Mesh with a "dp" axis — batch inputs shard their row
+        axis across the slice and GSPMD data-parallelizes the whole pipeline
+        (offline analogue of the dp-sharded serving batcher)."""
         bsz = len(ids_rows)
         lb = pick_bucket(max(len(r) for r in ids_rows), self.rt.text_buckets)
         ids = np.zeros((bsz, lb), np.int32)
@@ -454,23 +493,44 @@ class Engine:
                     wav = jnp.round(
                         jnp.clip(wav.astype(jnp.float32), -1.0, 1.0) * 32767.0
                     ).astype(jnp.int16)
-                return wav, lengths
+                # pack per-row lengths as the last waveform column: one
+                # device->host transfer carries everything the host needs
+                return jnp.concatenate(
+                    [wav, lengths[:, None].astype(wav.dtype)], axis=1
+                )
             return f
 
+        mesh_key = (
+            tuple(dict(mesh.shape).items()) if mesh is not None else None
+        )
         fn = self._fn(
             ("synth_batch", bsz, lb, int(max_frames), bool(anti_loop),
-             bool(pcm16)),
+             bool(pcm16), mesh_key),
             build,
         )
         keys = jnp.stack([jax.random.PRNGKey(int(sd)) for sd in seeds])
         # per-row key derivation as in init_ar_carry(batch=1) for parity
         keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
-        wav, lengths = fn(
-            self.params, self.mimi_params, jnp.asarray(ids), jnp.asarray(mask),
-            ref_batched, jnp.float32(style_strength), keys,
+        args = [jnp.asarray(ids), jnp.asarray(mask), ref_batched, keys]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            row = NamedSharding(mesh, P("dp"))
+            repl = NamedSharding(mesh, P())
+            args = [jax.device_put(a, row) if hasattr(a, "ndim") else a
+                    for a in args[:2]] + [
+                jax.tree.map(lambda x: jax.device_put(x, row), args[2]),
+                jax.device_put(args[3], row),
+            ]
+            self.params = jax.device_put(self.params, repl)
+            if self.mimi_params is not None:
+                self.mimi_params = jax.device_put(self.mimi_params, repl)
+        ids_d, mask_d, ref_d, keys_d = args
+        return fn(
+            self.params, self.mimi_params, ids_d, mask_d,
+            ref_d, jnp.float32(style_strength), keys_d,
             jnp.float32(top_p), jnp.float32(temperature), jnp.int32(min_gen),
         )
-        return np.asarray(wav), np.asarray(lengths)
 
     # -- fused streaming (one dispatch per chunk) --------------------------
 

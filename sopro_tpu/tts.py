@@ -309,12 +309,21 @@ class SoproTTS:
         min_gen_frames: Optional[int] = None,
         seeds=None,
         pcm16: bool = False,
+        pipeline_group: Optional[int] = None,
+        mesh=None,
     ):
-        """Batched synthesis (BASELINE config 4): N utterances decode as one
-        padded batch — per-row AR with independent EOS, one batched NAR +
-        vocoder pass. Returns a list of [1, S_i] waveforms (float32, or int16
-        with `pcm16=True` — converted on device, halving the transfer). No
-        reference counterpart (the reference is strictly single-utterance)."""
+        """Batched synthesis (BASELINE config 4): N utterances decode as
+        padded batches — per-row AR with independent EOS, one batched NAR +
+        vocoder pass per group. Returns a list of [1, S_i] waveforms
+        (float32, or int16 with `pcm16=True` — converted on device, halving
+        the transfer). No reference counterpart (the reference is strictly
+        single-utterance).
+
+        Large batches split into `pipeline_group`-row sub-batches whose
+        dispatches are all enqueued before any readback: group i's
+        device->host waveform transfer overlaps group i+1's compute (the
+        transfer is tens of ms on a remote-attached device). `mesh` shards
+        each group's rows over a "dp" axis for multi-chip offline synthesis."""
         import jax
         import jax.numpy as jnp
 
@@ -326,30 +335,42 @@ class SoproTTS:
             )
         b = len(texts)
         seeds = list(seeds) if seeds is not None else list(range(b))
+        g = int(pipeline_group or self.rt.batch_pipeline_group or b) or b
+        if mesh is not None:  # groups must keep the dp axis fully populated
+            dp = int(mesh.shape["dp"])
+            g = max(dp, (g // dp) * dp)
+        style = float(
+            style_strength if style_strength is not None
+            else self.cfg.style_strength
+        )
+        min_gen = int(min_gen_frames or self.cfg.min_gen_frames)
+        ids_rows = [self.encode_text(t) for t in texts]
+        hop = self.engine.mimi_cfg.hop_length
 
-        def tile(x):
+        def tile(x, n):
             if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == 1:
-                return jnp.broadcast_to(x, (b,) + x.shape[1:])
+                return jnp.broadcast_to(x, (n,) + x.shape[1:])
             return x
 
-        ref_b = jax.tree.map(tile, ref)
-        ids_rows = [self.encode_text(t) for t in texts]
-        wav, lengths = self.engine.synthesize_batch_fused(
-            ids_rows, ref_b,
-            max_frames=max_frames,
-            style_strength=float(
-                style_strength if style_strength is not None
-                else self.cfg.style_strength
-            ),
-            seeds=seeds, top_p=top_p, temperature=temperature,
-            anti_loop=anti_loop,
-            min_gen=int(min_gen_frames or self.cfg.min_gen_frames),
-            pcm16=pcm16,
-        )
-        hop = self.engine.mimi_cfg.hop_length
-        return [
-            wav[i : i + 1, : int(lengths[i]) * hop] for i in range(b)
-        ]
+        # enqueue every group's single dispatch, then read back in order
+        packed = []
+        for lo in range(0, b, g):
+            hi = min(lo + g, b)
+            ref_b = jax.tree.map(lambda x: tile(x, hi - lo), ref)
+            packed.append(self.engine.synthesize_batch_dispatch(
+                ids_rows[lo:hi], ref_b, max_frames=max_frames,
+                style_strength=style, seeds=seeds[lo:hi], top_p=top_p,
+                temperature=temperature, anti_loop=anti_loop,
+                min_gen=min_gen, pcm16=pcm16, mesh=mesh,
+            ))
+        outs = []
+        for p in packed:
+            wav, lengths = self.engine.synthesize_batch_read(p)
+            outs.extend(
+                wav[i : i + 1, : int(lengths[i]) * hop]
+                for i in range(wav.shape[0])
+            )
+        return outs
 
     def stream(self, text: str, **kwargs) -> Iterator[np.ndarray]:
         """Chunked synthesis (reference: src/sopro/model.py:577-580 ->

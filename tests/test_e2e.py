@@ -191,6 +191,29 @@ def test_stream_invariants(pair, rng):
     assert all(np.isfinite(c).all() for c in chunks)
 
 
+def test_stream_single_chunk_sample_exact(pair, rng):
+    """Sample-level streaming exactness (VERDICT r2 item 6): with
+    chunk_frames >= max_frames the stream is one chunk whose NAR window has
+    full context, so the only difference from `synthesize` is the streaming
+    Mimi decode path — which is exact. The streamed waveform must equal the
+    non-streaming waveform sample-for-sample (multi-chunk streams legitimately
+    differ: NAR windows lack right-context at chunk boundaries, reference
+    README.md:151)."""
+    _, tts = pair
+    ref_tokens = rng.integers(0, CFG["codebook_size"], size=(10, CFG["num_codebooks"]))
+    pref = tts.engine.prepare_reference(ref_tokens.astype(np.int32))
+    mf = CFG["max_frames"]
+
+    want = tts.synthesize("exact stream", ref=pref, max_frames=mf, seed=7)
+    chunks = list(
+        tts.stream("exact stream", ref=pref, max_frames=mf,
+                   chunk_frames=mf + 1, seed=7)
+    )
+    got = np.concatenate(chunks, axis=1)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_synthesize_batch(pair, rng):
     """Batched synthesis (config 4): rows decode independently (identical
     (text, seed) rows produce identical audio regardless of co-batch), the
@@ -218,6 +241,31 @@ def test_synthesize_batch(pair, rng):
     )
     for a, b in zip(outs, outs2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_synthesize_batch_dp_sharded(pair, rng):
+    """Offline batch synthesis over a device mesh (VERDICT r2 item 8): rows
+    sharded over "dp" produce waveforms identical to the unsharded batch
+    (dp-only leaves per-row numerics untouched)."""
+    from sopro_tpu.parallel import make_mesh
+
+    _, tts = pair
+    ref_tokens = rng.integers(0, CFG["codebook_size"], size=(10, CFG["num_codebooks"]))
+    pref = tts.engine.prepare_reference(ref_tokens.astype(np.int32))
+
+    texts = ["alpha one", "beta two", "gamma three", "delta four"]
+    seeds = [7, 8, 9, 10]
+    solo = tts.synthesize_batch(
+        texts, ref=pref, max_frames=CFG["max_frames"], seeds=seeds
+    )
+    mesh = make_mesh(4, dp=4, tp=1)
+    sharded = tts.synthesize_batch(
+        texts, ref=pref, max_frames=CFG["max_frames"], seeds=seeds, mesh=mesh
+    )
+    assert len(sharded) == len(solo)
+    for a, b in zip(sharded, solo):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
 def test_style_strength_sweep(pair, rng):

@@ -1,0 +1,116 @@
+"""Real-TPU test lane (`SOPRO_TEST_TPU=1 python -m pytest tests/ -q`, or
+`just test-tpu`).
+
+Everything here runs on the actual chip: the Pallas AR-step kernel in real
+Mosaic lowering (the CPU lane only covers interpret mode), and a small
+end-to-end synthesize. Results are recorded in PARITY.md.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def full_size():
+    """Full-size (d_model=384) random model on the real device."""
+    import jax
+
+    from sopro_tpu.config import SoproTTSConfig
+    from sopro_tpu.models import generator as G
+    from sopro_tpu.models import sopro as M
+    from sopro_tpu.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = SoproTTSConfig()
+    params = M.init_sopro_model(jax.random.PRNGKey(0), cfg, text_vocab_size=256)
+    params = jax.device_put(params)
+    txt = jax.random.normal(jax.random.PRNGKey(1), (1, 64, cfg.d_model))
+    import jax.numpy as jnp
+
+    mask = jnp.ones((1, 64), bool)
+    kvs = G.build_text_kv_caches(params["ar"], cfg, txt, mask)
+    return cfg, params, txt, mask, kvs
+
+
+def test_pallas_ar_step_real_mosaic(full_size, rng):
+    """Fused AR-step kernel under the REAL Mosaic lowering vs the XLA step
+    (the CPU lane runs the kernel in interpret mode only — this is the
+    hardware-truth check, VERDICT r2 item 7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sopro_tpu.models import generator as G
+    from sopro_tpu.ops.pallas_ar import (
+        ar_step_pallas,
+        pack_conv_state,
+        stack_ar_params,
+        unpack_conv_state,
+    )
+
+    cfg, params, txt, mask, kvs = full_size
+    stacked = stack_ar_params(params["ar"], cfg)
+    kv_k = jnp.stack([kv["k"] for kv in kvs if kv is not None])
+    kv_v = jnp.stack([kv["v"] for kv in kvs if kv is not None])
+
+    xla_state = G.init_ar_conv_state(cfg, 1)
+    bufs = pack_conv_state(xla_state)
+
+    for step in range(3):
+        x = jnp.asarray(rng.standard_normal((1, cfg.d_model)), jnp.float32)
+        ref_logits, xla_state = G.ar_step(params["ar"], cfg, x, xla_state, kvs)
+        logits, bufs = ar_step_pallas(
+            stacked, cfg, x, bufs, kv_k, kv_v, mask, interpret=False
+        )
+        # real-chip tolerance: XLA's f32 matmuls and the Mosaic kernel's
+        # accumulate in different orders/precisions (measured max abs diff
+        # ~6e-3 on ±10-scale logits)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(ref_logits),
+            rtol=5e-2, atol=2e-2, err_msg=f"step {step}",
+        )
+    # conv state holds GLU activations: TPU f32 matmuls (bf16-decomposed)
+    # give ~1e-3-scale noise on O(0.01..1) values; the logits check above is
+    # the functional assertion, this one guards gross state-threading bugs
+    for a, b in zip(unpack_conv_state(bufs, cfg), xla_state):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-3
+        )
+
+
+def test_synthesize_small_on_chip():
+    """End-to-end synthesize at full model size on the real device: finite,
+    frame-aligned audio through the fused and adaptive plans."""
+    from sopro_tpu import RuntimeConfig, SoproTTS
+    from sopro_tpu.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    tts = SoproTTS.from_random(
+        seed=0, runtime=RuntimeConfig(compute_dtype="bfloat16")
+    )
+    rng = np.random.default_rng(0)
+    ref_tokens = rng.integers(
+        0, tts.cfg.codebook_size, size=(40, tts.cfg.num_codebooks)
+    ).astype(np.int32)
+    ref = tts.engine.prepare_reference(ref_tokens)
+    hop = tts.engine.mimi_cfg.hop_length
+
+    wav = tts.synthesize("on chip check", ref=ref, max_frames=24, seed=1,
+                         min_gen_frames=24)
+    assert wav.shape[0] == 1 and wav.shape[1] % hop == 0 and wav.shape[1] > 0
+    assert np.isfinite(wav).all()
+
+    # NOTE: fused and adaptive are DIFFERENT compiled graphs; in bf16 their
+    # logits differ by ulps, which can legitimately flip sampled tokens —
+    # cross-path waveform equality is asserted in the CPU f32 lane
+    # (test_e2e.test_synthesize_fused_matches_adaptive). On hardware we
+    # assert the fused plan's format and bitwise run-to-run determinism.
+    wav_f = tts.synthesize("on chip check", ref=ref, max_frames=24, seed=1,
+                           min_gen_frames=24, fused=True, pcm16=True)
+    assert wav_f.dtype == np.int16
+    assert wav_f.shape == wav.shape
+    assert np.abs(wav_f.astype(np.int64)).max() > 0
+    wav_f2 = tts.synthesize("on chip check", ref=ref, max_frames=24, seed=1,
+                            min_gen_frames=24, fused=True, pcm16=True)
+    np.testing.assert_array_equal(wav_f, wav_f2)

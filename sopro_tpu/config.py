@@ -147,11 +147,19 @@ class RuntimeConfig:
     # AR scan chunk size for streaming-mode decode.
     ar_chunk: int = 8
     # synthesize_batch sub-batch size: groups pipeline so one group's
-    # device->host waveform transfer overlaps the next group's compute.
-    # 0 disables grouping (single fused batch).
-    batch_pipeline_group: int = 8
-    # Fused Pallas kernel for the AR decode step (TPU backends).
-    use_pallas_ar: bool = False
+    # device->host waveform transfer can overlap the next group's compute.
+    # 0 (default) = single fused batch: on the remote-tunnel device,
+    # transfers serialize with compute and per-group AR weight re-reads cost
+    # more than the overlap buys (measured 479x -> 223x going 32 -> 8-row
+    # groups); set >0 on locally-attached hardware or when a huge batch
+    # would not fit HBM.
+    batch_pipeline_group: int = 0
+    # Fused Pallas kernel for the AR decode step. None (default) = auto:
+    # ON for TPU backends (measured 55 vs 84 us/step incl. sampling vs the
+    # XLA step at batch 1 — the kernel streams each block's weight slab
+    # HBM->VMEM through the Pallas pipeline), OFF elsewhere (interpret mode
+    # is for tests only).
+    use_pallas_ar: "bool | None" = None
 
 
 def pick_bucket(n: int, buckets: Tuple[int, ...]) -> int:

@@ -79,6 +79,11 @@ class Engine:
         self.dtype = (
             jnp.bfloat16 if self.rt.compute_dtype == "bfloat16" else jnp.float32
         )
+        self.use_pallas_ar = (
+            self.rt.use_pallas_ar
+            if self.rt.use_pallas_ar is not None
+            else jax.default_backend() == "tpu"
+        )
         self._fns: Dict[Tuple, Any] = {}
 
     # -- jit cache ---------------------------------------------------------
@@ -149,9 +154,14 @@ class Engine:
 
     def _ar_kv(self, params, txt_seq, text_mask):
         """Text KV in the form the AR step implementation expects: a
-        PallasARContext (fused kernel) or per-layer dict caches (XLA)."""
+        PallasARContext (fused kernel) or per-layer dict caches (XLA).
+
+        The fused kernel wins at small batch (latency-bound, weight-slab
+        streaming); at larger batch its per-block KV/state slabs outgrow the
+        ~16 MB VMEM double-buffering budget and the XLA step is
+        compute-bound anyway, so batched paths stay on XLA."""
         kvs = G.build_text_kv_caches(params["ar"], self.cfg, txt_seq, text_mask)
-        if not self.rt.use_pallas_ar:
+        if not self.use_pallas_ar or int(txt_seq.shape[0]) > 2:
             return kvs
         from sopro_tpu.ops.pallas_ar import PallasARContext, stack_ar_params
 

@@ -14,7 +14,11 @@ kernel executes the whole step in ONE `pallas_call`:
 
 Numerics match ops/blocks.py + ops/attention.py (same fp32 islands: RMSNorm,
 attention softmax, NaN scrub). Parity-tested against the XLA path
-(tests/test_pallas_ar.py); enabled via RuntimeConfig(use_pallas_ar=True).
+(tests/test_pallas_ar.py, real Mosaic lowering in tests/test_tpu.py).
+Default-ON on TPU backends (RuntimeConfig.use_pallas_ar=None -> auto):
+measured 55 vs 84 us/step including sampling vs the XLA step at batch 1 on
+v5e — the weight-slab streaming approaches the 21 MB/step HBM bandwidth
+bound, where the XLA while_loop body pays per-op sequencing overhead.
 """
 
 from __future__ import annotations

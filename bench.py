@@ -114,7 +114,7 @@ def main() -> None:
 
         from sopro_tpu.serve.scheduler import ContinuousBatcher
 
-        batcher = ContinuousBatcher(tts, slots=8, chunk_frames=16)
+        batcher = ContinuousBatcher(tts, slots=8, chunk_frames=16, pcm16=True)
         batcher.start()
         batcher.warmup(ref=ref)
         done = {}

@@ -18,6 +18,16 @@ All device work is ONE jitted call per tick regardless of batch occupancy
 host-needed scalars come back in ONE packed device->host transfer — on a
 remote-attached device each extra dispatch/readback costs ~20 ms of fixed
 latency, which would otherwise dominate the tick.
+
+Two further tunnel optimizations (both measured on a ~30 ms-RTT,
+~40 MB/s device link):
+
+* `pcm16=True` packs the tick as int16 (16-bit waveform + int16 scalars),
+  halving the per-tick transfer — the SPRO wire protocol ships 16-bit PCM
+  anyway, so the servers lose nothing;
+* tick N+1 is DISPATCHED before tick N's packed buffer is read back
+  (dispatch is async; the carry dependency chains on device), so the
+  readback's RTT + transfer time hides under the next tick's compute.
 """
 
 from __future__ import annotations
@@ -41,9 +51,14 @@ from sopro_tpu.models import generator as G
 from sopro_tpu.models import sopro as M
 
 
+def _p50(xs: List[float]) -> Optional[float]:
+    return round(sorted(xs)[len(xs) // 2], 1) if xs else None
+
+
 @dataclass
 class SessionHandle:
-    """Host-side handle: chunks arrive on `out` ([1, S] float32 np arrays),
+    """Host-side handle: chunks arrive on `out` ([1, S] np arrays — float32,
+    or int16 PCM when the batcher runs with `pcm16=True`),
     terminated by None. `error` is set if the session failed. `cancel()`
     stops the session at the next tick and frees its slot (client
     disconnects must not keep decoding into the void)."""
@@ -89,6 +104,7 @@ class ContinuousBatcher:
         max_frames: int = 400,
         nar_context_frames: Optional[int] = None,
         mesh=None,
+        pcm16: bool = False,
     ):
         """`mesh`: an optional `jax.sharding.Mesh` with a "dp" axis — the
         persistent batched state shards its session axis across the slice,
@@ -99,6 +115,7 @@ class ContinuousBatcher:
         self.eng = tts.engine
         self.cfg = tts.cfg
         self.mesh = mesh
+        self.pcm16 = bool(pcm16)
         self.B = int(slots)
         self.cf = int(chunk_frames)
         self.L = int(text_bucket)
@@ -142,6 +159,8 @@ class ContinuousBatcher:
         self.sessions_done = 0
         self.total_audio_s = 0.0
         self._ttfa_ms: List[float] = []  # last 100 sessions
+        self._dispatch_ms: List[float] = []  # last 100 ticks: jit call wall
+        self._read_ms: List[float] = []  # last 100 ticks: packed readback
 
         self._build_fns()
 
@@ -281,10 +300,20 @@ class ContinuousBatcher:
                 [carry.t, carry.first_eos, carry.stopped.astype(jnp.int32),
                  n_new]
             )
-            packed = jnp.concatenate(
-                [wav.astype(jnp.float32).ravel(),
-                 info.astype(jnp.float32).ravel()]
-            )
+            if self.pcm16:
+                # int16 packing halves the per-tick transfer; every scalar
+                # (t, first_eos <= S=401, n_new <= cf) fits in int16
+                pcm = jnp.round(
+                    jnp.clip(wav.astype(jnp.float32), -1.0, 1.0) * 32767.0
+                ).astype(jnp.int16)
+                packed = jnp.concatenate(
+                    [pcm.ravel(), info.astype(jnp.int16).ravel()]
+                )
+            else:
+                packed = jnp.concatenate(
+                    [wav.astype(jnp.float32).ravel(),
+                     info.astype(jnp.float32).ravel()]
+                )
             return carry, mimi_state, emitted, packed
 
         self._tick = jax.jit(tick)
@@ -421,16 +450,24 @@ class ContinuousBatcher:
                 req["handle"].out.put(None)
 
     def _run(self):
+        # software-pipelined tick loop: tick N+1 is dispatched (async — the
+        # carry dependency chains on device) BEFORE tick N's packed buffer is
+        # read back, so the readback RTT + transfer hides under tick N+1's
+        # device compute
+        pending = None  # (packed device buffer, slot snapshot) of last tick
         while not self._stop.is_set():
             with self._lock:
                 self._admit()
                 busy = any(s is not None for s in self._slots)
-            if not busy:
+            if not busy and pending is None:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
             try:
-                self._do_tick()
+                nxt = self._dispatch_tick() if busy else None
+                if pending is not None:
+                    self._process_tick(*pending)
+                pending = nxt
             except BaseException as e:
                 # fail all live sessions rather than spinning
                 for i, s in enumerate(self._slots):
@@ -438,8 +475,9 @@ class ContinuousBatcher:
                         s.handle.error = e
                         s.handle.out.put(None)
                         self._slots[i] = None
+                pending = None
 
-    def _do_tick(self):
+    def _dispatch_tick(self):
         # retire cancelled sessions before spending device time on them
         cancelled = [
             i for i, s in enumerate(self._slots)
@@ -458,12 +496,24 @@ class ContinuousBatcher:
             "top_p": self.row_top_p, "temp": self.row_temp,
             "min_gen": self.row_min_gen, "max_frames": self.row_max_frames,
         }
+        t0 = time.perf_counter()
         self.carry, self.mimi_state, self.emitted, packed = self._tick(
             self.eng.params, self.eng.mimi_params, self.carry, self.cond,
             self.txt_kv, row, self.mimi_state, self.emitted,
         )
+        self._dispatch_ms.append((time.perf_counter() - t0) * 1000.0)
+        del self._dispatch_ms[:-100]
         self.ticks += 1
+        return packed, list(self._slots)
+
+    def _process_tick(self, packed, snap):
+        """Read back a dispatched tick's packed buffer and route its chunks.
+        `snap` is the slot list at dispatch time — a slot freed/refilled in
+        the meantime must not receive this tick's rows."""
+        t0 = time.perf_counter()
         flat = np.asarray(packed)  # the ONE device->host transfer per tick
+        self._read_ms.append((time.perf_counter() - t0) * 1000.0)
+        del self._read_ms[:-100]
         nwav = self.B * self.cf * self.hop
         wav = flat[:nwav].reshape(self.B, self.cf * self.hop)
         info = flat[nwav:].reshape(4, self.B).astype(np.int64)
@@ -471,8 +521,8 @@ class ContinuousBatcher:
             info[0], info[1], info[2].astype(bool), info[3],
         )
 
-        for i, s in enumerate(self._slots):
-            if s is None or n_new[i] <= 0:
+        for i, s in enumerate(snap):
+            if s is None or s.handle.cancelled or n_new[i] <= 0:
                 continue
             s.handle.out.put(wav[i : i + 1, : int(n_new[i]) * self.hop].copy())
             if s.handle.first_chunk_s is None:
@@ -482,9 +532,9 @@ class ContinuousBatcher:
             s.emitted += int(n_new[i])
             s.handle.frames = s.emitted
 
-        # retire finished rows
-        for i, s in enumerate(self._slots):
-            if s is None:
+        # retire finished rows (only if the slot still holds this session)
+        for i, s in enumerate(snap):
+            if s is None or self._slots[i] is not s:
                 continue
             done = bool(stopped[i]) or int(t[i]) >= self.S
             valid = int(min(first_eos[i], t[i], s.max_frames + 1))
@@ -514,4 +564,6 @@ class ContinuousBatcher:
             "ttfa_p50_ms": (
                 round(ttfa[len(ttfa) // 2], 1) if ttfa else None
             ),
+            "tick_dispatch_ms_p50": _p50(self._dispatch_ms),
+            "tick_read_ms_p50": _p50(self._read_ms),
         }

@@ -171,7 +171,8 @@ def get_tts():
 
                 mesh = make_mesh(dp, dp=dp, tp=1)
             _batcher = ContinuousBatcher(
-                _tts, slots=CFG.slots, chunk_frames=CFG.chunk_size, mesh=mesh
+                _tts, slots=CFG.slots, chunk_frames=CFG.chunk_size, mesh=mesh,
+                pcm16=True,  # wire protocol is 16-bit; halves tick readback
             )
             _batcher.start()
         return _tts, _batcher

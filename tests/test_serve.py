@@ -189,6 +189,38 @@ def test_cancel_frees_slot(tts, batcher):
     assert total > 0
 
 
+def test_pcm16_batcher_matches_float(tts):
+    """A pcm16 batcher ships int16 tick buffers (half the device->host
+    transfer); its chunks must be exactly the device-quantized float chunks
+    of a float batcher for the same request."""
+    text, seed = "alpha one", 11
+    bf = ContinuousBatcher(
+        tts, slots=2, chunk_frames=4, text_bucket=16,
+        max_frames=CFG["max_frames"],
+    )
+    try:
+        hf = bf.submit(text, _ref(tts, seed=0), seed=seed)
+        float_chunks = list(hf.chunks())
+    finally:
+        bf.stop()
+
+    bq = ContinuousBatcher(
+        tts, slots=2, chunk_frames=4, text_bucket=16,
+        max_frames=CFG["max_frames"], pcm16=True,
+    )
+    try:
+        hq = bq.submit(text, _ref(tts, seed=0), seed=seed)
+        q_chunks = list(hq.chunks())
+    finally:
+        bq.stop()
+
+    assert len(q_chunks) == len(float_chunks)
+    for qc, fc in zip(q_chunks, float_chunks):
+        assert qc.dtype == np.int16
+        expect = np.round(np.clip(fc, -1.0, 1.0) * 32767.0).astype(np.int16)
+        np.testing.assert_array_equal(qc, expect)
+
+
 def _install_fastapi_stub(monkeypatch):
     """Minimal fastapi/starlette surface so serve/server.py's REAL route
     code executes under test (the image ships no fastapi — VERDICT r2 weak

@@ -136,6 +136,83 @@ def shard_train_state(mesh: Mesh, params, opt_state, batch: TrainBatch):
     return params, opt_state, batch
 
 
+def save_train_checkpoint(path: str, params, opt_state, step: int = 0) -> None:
+    """Persist a full training state (params + optimizer moments + step) via
+    orbax. Works for GSPMD-sharded state: orbax gathers each leaf's shards.
+
+    The reference publishes no training code (SURVEY.md §5: inference
+    checkpoints only); this is the training-side resume story for the
+    sharded train step. Inference-side export stays
+    `hub.save_sopro_checkpoint` (reference-compatible safetensors).
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    state = {
+        "params": params,
+        "opt_state": opt_state,
+        "step": jnp.asarray(step, jnp.int32),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        ckptr.save(os.path.abspath(path), state, force=True)
+        ckptr.wait_until_finished()
+    finally:
+        ckptr.close()
+
+
+def restore_train_checkpoint(
+    path: str, params_like, opt_state_like, mesh: "Mesh | None" = None
+) -> Tuple[Any, Any, int]:
+    """Restore (params, opt_state, step) saved by `save_train_checkpoint`.
+
+    `params_like` / `opt_state_like` provide the tree structure and leaf
+    shapes/dtypes (e.g. a fresh `init_sopro_model` + `optimizer.init`);
+    only metadata is read from them. With `mesh`, every leaf is restored
+    directly into its training sharding (params/moments per
+    `parallel.mesh.param_shardings`, scalars replicated) — resume works on a
+    different device topology than the one that saved.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    state_like = {
+        "params": params_like,
+        "opt_state": opt_state_like,
+        "step": jnp.zeros((), jnp.int32),
+    }
+    if mesh is not None:
+        from sopro_tpu.parallel.mesh import param_shardings
+
+        pshard = param_shardings(mesh, params_like)
+        oshard = _opt_sharding_like(mesh, opt_state_like, params_like, pshard)
+        shard_like = {
+            "params": pshard,
+            "opt_state": oshard,
+            "step": NamedSharding(mesh, P()),
+        }
+        abstract = jax.tree.map(
+            lambda x, s: jax.ShapeDtypeStruct(
+                jnp.shape(x), jnp.result_type(x), sharding=s
+            ),
+            state_like,
+            shard_like,
+        )
+    else:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            state_like,
+        )
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        state = ckptr.restore(os.path.abspath(path), abstract)
+    finally:
+        ckptr.close()
+    return state["params"], state["opt_state"], int(state["step"])
+
+
 def _opt_sharding_like(mesh, opt_state, params, pshard):
     """Adam moments mirror the param tree; other leaves replicate."""
     flat_p, _ = jax.tree_util.tree_flatten(params)

@@ -100,6 +100,58 @@ def test_sharded_loss_matches_single_device(rng):
     )
 
 
+def test_train_checkpoint_resume_sharded(rng, tmp_path):
+    """Training checkpoint/resume (SURVEY.md §5): save a sharded train state
+    mid-run, restore it into a FRESH sharded state (different mesh shape than
+    the save-side layout), and verify bit-identical params/moments plus a
+    finite continued step."""
+    from sopro_tpu.train import restore_train_checkpoint, save_train_checkpoint
+
+    params = init_sopro_model(jax.random.PRNGKey(0), CFG, text_vocab_size=64)
+    optimizer = make_optimizer(lr=1e-3)
+    opt_state = optimizer.init(params)
+    batch = _batch(rng)
+
+    mesh = make_mesh(8)
+    with mesh:
+        params, opt_state, batch = shard_train_state(mesh, params, opt_state, batch)
+        step = jax.jit(make_train_step(CFG, optimizer))
+        for _ in range(2):
+            params, opt_state, metrics = step(params, opt_state, batch)
+    ck = str(tmp_path / "ck")
+    save_train_checkpoint(ck, params, opt_state, step=2)
+
+    # fresh template state (as a cold resume would build it) + a different
+    # mesh layout than the one that saved
+    params_like = init_sopro_model(jax.random.PRNGKey(9), CFG, text_vocab_size=64)
+    opt_like = optimizer.init(params_like)
+    mesh2 = make_mesh(8, dp=4, tp=2)
+    params_r, opt_r, step_no = restore_train_checkpoint(
+        ck, params_like, opt_like, mesh=mesh2
+    )
+    assert step_no == 2
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params_r, params,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        opt_r, opt_state,
+    )
+
+    with mesh2:
+        batch2 = _batch(np.random.default_rng(5))
+        from sopro_tpu.parallel.mesh import batch_sharding
+
+        batch2 = TrainBatch(
+            *(jax.device_put(x, batch_sharding(mesh2)) for x in batch2)
+        )
+        step2 = jax.jit(make_train_step(CFG, optimizer))
+        _, _, metrics = step2(params_r, opt_r, batch2)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_param_sharding_rules():
     params = init_sopro_model(jax.random.PRNGKey(0), CFG, text_vocab_size=64)
     mesh = make_mesh(8, dp=4, tp=2)

@@ -160,6 +160,20 @@ class RuntimeConfig:
     # HBM->VMEM through the Pallas pipeline), OFF elsewhere (interpret mode
     # is for tests only).
     use_pallas_ar: "bool | None" = None
+    # Whole-loop resident Pallas AR decode: ALL max_frames+1 steps (block
+    # stack + sampler + anti-loop bookkeeping) run inside ONE pallas_call
+    # with every weight slab resident in VMEM for the whole loop (~24 MB
+    # bf16 at text bucket 256; the kernel raises the scoped-VMEM limit past
+    # XLA's 16 MB default — v5e accepts it). Removes the per-step
+    # kernel-launch + XLA-glue cost that dominates the per-step paths:
+    # measured 18.5 vs 70 us/step on v5e (7.4 ms for a 401-step decode).
+    # None (default) = auto: ON for TPU when the single-stream
+    # full-generate path qualifies (B == 1, text bucket <= 256), OFF
+    # elsewhere. Sampling uses an in-kernel counter-based RNG, so token
+    # streams differ from the XLA path for the same seed (both are correct
+    # samples; near-greedy decoding matches the XLA path bit-for-bit up to
+    # genuine logit near-ties).
+    use_pallas_resident: "bool | None" = None
 
 
 def pick_bucket(n: int, buckets: Tuple[int, ...]) -> int:

@@ -84,6 +84,11 @@ class Engine:
             if self.rt.use_pallas_ar is not None
             else jax.default_backend() == "tpu"
         )
+        self.use_pallas_resident = (
+            self.rt.use_pallas_resident
+            if self.rt.use_pallas_resident is not None
+            else jax.default_backend() == "tpu"
+        )
         self._fns: Dict[Tuple, Any] = {}
 
     # -- jit cache ---------------------------------------------------------
@@ -152,24 +157,44 @@ class Engine:
                   jnp.float32(style_strength))
 
 
-    def _ar_kv(self, params, txt_seq, text_mask):
+    def _ar_kv(self, params, txt_seq, text_mask, resident: bool = False):
         """Text KV in the form the AR step implementation expects: a
-        PallasARContext (fused kernel) or per-layer dict caches (XLA).
+        PallasResidentContext (whole-loop kernel; only for full-generate
+        call sites that pass resident=True), a PallasARContext (per-step
+        fused kernel), or per-layer dict caches (XLA).
 
-        The fused kernel wins at small batch (latency-bound, weight-slab
-        streaming); at larger batch its per-block KV/state slabs outgrow the
-        ~16 MB VMEM double-buffering budget and the XLA step is
-        compute-bound anyway, so batched paths stay on XLA."""
+        The fused kernels win at small batch (latency-bound); at larger
+        batch the per-block KV/state slabs outgrow the ~16 MB VMEM budget
+        and the XLA step is compute-bound anyway, so batched paths stay on
+        XLA. The resident kernel additionally needs the whole weight set in
+        VMEM for the loop's lifetime, which caps the text bucket at 256."""
         kvs = G.build_text_kv_caches(params["ar"], self.cfg, txt_seq, text_mask)
         if not self.use_pallas_ar or int(txt_seq.shape[0]) > 2:
             return kvs
-        from sopro_tpu.ops.pallas_ar import PallasARContext, stack_ar_params
+        from sopro_tpu.ops.pallas_ar import (
+            PallasARContext, PallasResidentContext, stack_ar_params,
+        )
 
+        kv_k = jnp.stack([kv["k"] for kv in kvs if kv is not None])
+        kv_v = jnp.stack([kv["v"] for kv in kvs if kv is not None])
+        if (
+            resident
+            and self.use_pallas_resident
+            and int(txt_seq.shape[0]) == 1
+            and int(txt_seq.shape[1]) <= 256
+        ):
+            emb = params["cb_embed"]["emb"]
+            bos = int(self.cfg.num_codebooks) * int(self.cfg.codebook_size)
+            emb_c = jnp.concatenate(
+                [emb[: self.cfg.ar_vocab], emb[bos: bos + 1]], axis=0
+            )
+            return PallasResidentContext(
+                stacked=stack_ar_params(params["ar"], self.cfg),
+                kv_k=kv_k, kv_v=kv_v, mask=text_mask, emb=emb_c,
+            )
         return PallasARContext(
             stacked=stack_ar_params(params["ar"], self.cfg),
-            kv_k=jnp.stack([kv["k"] for kv in kvs if kv is not None]),
-            kv_v=jnp.stack([kv["v"] for kv in kvs if kv is not None]),
-            mask=text_mask,
+            kv_k=kv_k, kv_v=kv_v, mask=text_mask,
         )
 
     # -- AR decode ---------------------------------------------------------
@@ -213,7 +238,9 @@ class Engine:
                 carry = M.ar_generate(
                     params, self.cfg, cond, txt_seq, text_mask, key,
                     settings, max_frames + 1,
-                    kv_caches=self._ar_kv(params, txt_seq, text_mask),
+                    kv_caches=self._ar_kv(
+                        params, txt_seq, text_mask, resident=True
+                    ),
                 )
                 # pack the two host-needed scalars into one read
                 info = jnp.stack([carry.first_eos[0], carry.t[0]])
@@ -357,7 +384,9 @@ class Engine:
                 carry = M.ar_generate(
                     params, self.cfg, prep["cond_ar"], prep["txt_seq"],
                     mask, key, settings, s,
-                    kv_caches=self._ar_kv(params, prep["txt_seq"], mask),
+                    kv_caches=self._ar_kv(
+                        params, prep["txt_seq"], mask, resident=True
+                    ),
                 )
                 t = jnp.minimum(carry.first_eos, carry.t)  # [1]
                 frame_mask = jnp.arange(s)[None, :] < t[:, None]

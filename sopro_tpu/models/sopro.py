@@ -356,6 +356,30 @@ def ar_generate(
     `kv_caches` to run the fused-kernel step."""
     if kv_caches is None:
         kv_caches = G.build_text_kv_caches(p["ar"], cfg, txt_seq, text_mask)
+
+    from sopro_tpu.ops.pallas_ar import (
+        PallasResidentContext, ar_generate_pallas_resident,
+    )
+
+    if isinstance(kv_caches, PallasResidentContext):
+        # whole-loop kernel: every step (block stack + sampler + anti-loop
+        # bookkeeping) runs inside ONE pallas_call with VMEM-resident
+        # weights; only tokens/first_eos/t come back (the downstream
+        # full-generate consumers use exactly those)
+        seed = jax.random.bits(key, dtype=jnp.uint32).astype(jnp.int32)
+        tokens, first_eos, t_fin = ar_generate_pallas_resident(
+            kv_caches, cfg, cond_ar, seed,
+            settings.top_p, settings.temperature,
+            settings.recovery_top_p, settings.recovery_temp,
+            settings.min_gen_frames, max_steps,
+            anti_loop=settings.anti_loop, loop_streak=settings.loop_streak,
+        )
+        carry = init_ar_carry(cfg, 1, max_steps, key, cond_ar.dtype)
+        return carry._replace(
+            tokens=tokens, first_eos=first_eos, t=t_fin,
+            stopped=first_eos < max_steps,
+        )
+
     carry = init_ar_carry(cfg, cond_ar.shape[0], max_steps, key, cond_ar.dtype)
     carry = maybe_pack_carry(carry, kv_caches)
 

@@ -79,6 +79,59 @@ def test_pallas_ar_step_real_mosaic(full_size, rng):
         )
 
 
+def test_resident_kernel_real_mosaic(full_size):
+    """Whole-loop resident AR kernel under the REAL Mosaic lowering: the
+    near-greedy prefix must match the XLA while_loop until the first genuine
+    logit near-tie (different RNG streams legitimately flip exact ties), and
+    the sampled path must be bitwise reproducible per seed."""
+    import jax
+    import jax.numpy as jnp
+
+    from sopro_tpu.models import sopro as M
+    from sopro_tpu.ops.pallas_ar import (
+        PallasResidentContext, stack_ar_params,
+    )
+
+    cfg, params, txt, mask, kvs = full_size
+    S = 49
+    cond = jax.random.normal(
+        jax.random.PRNGKey(2), (1, S, cfg.d_model)
+    ) * 0.02
+    kv_k = jnp.stack([kv["k"] for kv in kvs if kv is not None])
+    kv_v = jnp.stack([kv["v"] for kv in kvs if kv is not None])
+    emb = params["cb_embed"]["emb"]
+    bos = cfg.num_codebooks * cfg.codebook_size
+    emb_c = jnp.concatenate([emb[: cfg.ar_vocab], emb[bos: bos + 1]], axis=0)
+    ctx = PallasResidentContext(
+        stacked=stack_ar_params(params["ar"], cfg),
+        kv_k=kv_k, kv_v=kv_v, mask=mask, emb=emb_c,
+    )
+    ng = M.ARSettings(
+        top_p=jnp.float32(1e-5), temperature=jnp.float32(1e-4),
+        recovery_top_p=jnp.float32(1e-5), recovery_temp=jnp.float32(1e-4),
+        min_gen_frames=jnp.int32(12),
+    )
+    c_res = M.ar_generate(params, cfg, cond, txt, mask,
+                          jax.random.PRNGKey(7), ng, S, kv_caches=ctx)
+    c_xla = M.ar_generate(params, cfg, cond, txt, mask,
+                          jax.random.PRNGKey(7), ng, S, kv_caches=kvs)
+    tr, tx = np.asarray(c_res.tokens[0]), np.asarray(c_xla.tokens[0])
+    # identical prefix of at least 16 steps (ties beyond that are possible
+    # but a shorter prefix means a real numerics bug)
+    assert (tr[:16] == tx[:16]).all(), (tr[:16], tx[:16])
+
+    s1 = M.ARSettings(
+        top_p=jnp.float32(0.9), temperature=jnp.float32(1.05),
+        recovery_top_p=jnp.float32(0.85), recovery_temp=jnp.float32(1.2),
+        min_gen_frames=jnp.int32(12),
+    )
+    a = M.ar_generate(params, cfg, cond, txt, mask, jax.random.PRNGKey(1),
+                      s1, S, kv_caches=ctx)
+    b = M.ar_generate(params, cfg, cond, txt, mask, jax.random.PRNGKey(1),
+                      s1, S, kv_caches=ctx)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+
 def test_synthesize_small_on_chip():
     """End-to-end synthesize at full model size on the real device: finite,
     frame-aligned audio through the fused and adaptive plans."""

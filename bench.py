@@ -87,6 +87,84 @@ def main() -> None:
     rtf = statistics.median(rtfs)
     frames_per_s = statistics.median(frames_rates)
 
+    # ---- on-chip pipeline cost (net of the remote link) -------------------
+    # This environment attaches the TPU over a tunnel whose dispatch +
+    # readback latency dominates single-stream wall times. The rep trick —
+    # run the full fused pipeline N times inside ONE dispatch, difference
+    # N=1 vs N=3 — isolates pure device time, i.e. what the framework costs
+    # on locally-attached hardware.
+    onchip_ms = None
+    if os.environ.get("SOPRO_BENCH_ONCHIP", "1") != "0":
+        import jax.numpy as jnp
+        from jax import lax
+
+        import sopro_tpu.models.sopro as M
+        from sopro_tpu.codec.mimi_jax import mimi_decode
+        from sopro_tpu.config import pick_bucket
+        from sopro_tpu.engine import _pad_axis
+
+        ids_row = tts.encode_text(text)
+        lb = pick_bucket(len(ids_row), rt.text_buckets)
+        ids = jnp.asarray(_pad_axis(np.asarray(ids_row, np.int32), 0, lb))[None]
+        mask_np = np.zeros((1, lb), bool)
+        mask_np[:, : len(ids_row)] = True
+        mask_j = jnp.asarray(mask_np)
+        s = max_frames + 1
+
+        def synth_body(params, mp, ref_arg, seed_i):
+            prep = M.prepare_conditioning(
+                params, tts.cfg, ids, mask_j, ref_arg,
+                max_frames=max_frames, style_strength=1.0,
+            )
+            settings = M.ARSettings(
+                top_p=jnp.float32(0.9), temperature=jnp.float32(1.05),
+                recovery_top_p=jnp.float32(0.85),
+                recovery_temp=jnp.float32(1.2),
+                min_gen_frames=jnp.int32(tts.cfg.min_gen_frames),
+            )
+            carry = M.ar_generate(
+                params, tts.cfg, prep["cond_ar"], prep["txt_seq"], mask_j,
+                jax.random.PRNGKey(seed_i), settings, s,
+                kv_caches=eng._ar_kv(params, prep["txt_seq"], mask_j,
+                                     resident=True),
+            )
+            t = jnp.minimum(carry.first_eos, carry.t)
+            frame_mask = jnp.arange(s)[None, :] < t[:, None]
+            toks = M.nar_refine(
+                params, tts.cfg, prep["cond_ar"], carry.tokens,
+                mask=frame_mask,
+            )
+            wav = mimi_decode(mp, eng.mimi_cfg, toks)
+            return jnp.sum(wav[:, ::4096]).astype(jnp.float32)
+
+        def rep(n):
+            # params ride as jit ARGUMENTS (closing over them would bake
+            # them into the HLO as constants)
+            @jax.jit
+            def run(params, mp, ref_arg, seed0):
+                def it(i, acc):
+                    return acc + synth_body(params, mp, ref_arg, seed0 + i)
+
+                return lax.fori_loop(0, n, it, jnp.float32(0.0))
+
+            return run
+
+        r1, r3 = rep(1), rep(3)
+
+        def tmin(fn, n=3, warm=1):
+            for _ in range(warm):
+                jax.block_until_ready(fn())
+            out = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn())
+                out.append(time.perf_counter() - t0)
+            return min(out)
+
+        t1 = tmin(lambda: r1(eng.params, eng.mimi_params, ref, jnp.int32(0)))
+        t3 = tmin(lambda: r3(eng.params, eng.mimi_params, ref, jnp.int32(0)))
+        onchip_ms = (t3 - t1) / 2.0 * 1000.0
+
     # ---- streaming TTFA ---------------------------------------------------
     streamer = SoproTTSStreamer(tts, StreamConfig(chunk_frames=6))
 
@@ -180,6 +258,13 @@ def main() -> None:
             ),
             "batch32_aggregate_x_realtime": (
                 round(batch32_x, 1) if batch32_x else None
+            ),
+            "onchip_synth_ms": (
+                round(onchip_ms, 1) if onchip_ms is not None else None
+            ),
+            "onchip_rtf": (
+                round(onchip_ms / 1000.0 / (wav.shape[1] / sr), 6)
+                if onchip_ms is not None else None
             ),
             "audio_s_per_run": round(wav.shape[1] / sr, 2),
             "build_s": round(build_s, 1),

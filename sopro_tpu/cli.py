@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--stream", action="store_true",
                    help="use the chunked streaming path")
+    p.add_argument("--long", action="store_true",
+                   help="long-form mode: split text into sentence chunks, "
+                        "synthesize as one batch, stitch with --gap_ms of "
+                        "silence (no 32 s cap)")
+    p.add_argument("--gap_ms", type=float, default=120.0)
     p.add_argument("--chunk_frames", type=int, default=6)
     p.add_argument("--random_init", action="store_true",
                    help="random weights instead of a checkpoint (offline dev)")
@@ -123,6 +128,9 @@ def main(argv=None) -> int:
                 chunks.append(c)
             wav = (np.concatenate(chunks, axis=1) if chunks
                    else np.zeros((1, 0), np.float32))
+        elif args.long:
+            wav = tts.synthesize_long(args.text, pcm16=True,
+                                      gap_ms=args.gap_ms, **kwargs)
         else:
             # device-side PCM16: the WAV on disk is 16-bit regardless, and the
             # int16 readback halves the device->host transfer

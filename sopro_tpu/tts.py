@@ -32,6 +32,48 @@ def center_crop_tokens(tokens_tq: np.ndarray, win: int) -> np.ndarray:
     return tokens_tq[s : s + win]
 
 
+def split_sentences(text: str, max_chars: int = 350) -> list:
+    """Split text into sentence-ish chunks of at most ~max_chars, for
+    long-form synthesis past the model's 400-frame (~32 s) cap. Breaks at
+    sentence enders (. ! ? ; and line breaks), keeping the punctuation with
+    its sentence; sentences merge greedily up to max_chars; a single
+    over-long sentence falls back to comma/space breaks."""
+    import re
+
+    text = text.strip()
+    if not text:
+        return []
+    raw = [
+        s.strip()
+        for s in re.split(r"(?<=[.!?;])\s+|\n+", text)
+        if s.strip()
+    ]
+
+    def hard_split(s: str) -> list:
+        if len(s) <= max_chars:
+            return [s]
+        out = []
+        while len(s) > max_chars:
+            window = s[: max_chars + 1]
+            cut = max(window.rfind(", "), window.rfind(" "))
+            if cut <= 0:
+                cut = max_chars
+            out.append(s[:cut].strip())
+            s = s[cut:].lstrip(", ").strip()
+        if s:
+            out.append(s)
+        return out
+
+    pieces = [p for s in raw for p in hard_split(s)]
+    merged = []
+    for p in pieces:
+        if merged and len(merged[-1]) + 1 + len(p) <= max_chars:
+            merged[-1] = merged[-1] + " " + p
+        else:
+            merged.append(p)
+    return merged
+
+
 class SoproTTS:
     def __init__(
         self,
@@ -371,6 +413,62 @@ class SoproTTS:
                 for i in range(wav.shape[0])
             )
         return outs
+
+    def synthesize_long(
+        self,
+        text: str,
+        *,
+        ref: Optional[PreparedReference] = None,
+        ref_audio_path: Optional[str] = None,
+        ref_tokens_tq: Optional[np.ndarray] = None,
+        max_frames: int = 400,
+        gap_ms: float = 120.0,
+        max_chars: int = 350,
+        seed: int = 0,
+        pcm16: bool = False,
+        **kwargs,
+    ) -> np.ndarray:
+        """Unbounded-length synthesis: split `text` into sentence chunks,
+        synthesize them as ONE padded batch (each chunk gets its own AR
+        decode with the shared reference), and stitch with `gap_ms` of
+        silence between chunks. The reference model caps generation at
+        ~32 s / 400 frames and hallucinates beyond (reference README.md:155,
+        src/sopro/config.py:12) — users must chunk manually; here it is a
+        first-class API built on the batched decode path, so a 10-sentence
+        paragraph costs ~one batch dispatch instead of 10 serial calls.
+
+        Chunks inherit kwargs (top_p/temperature/style_strength/...); chunk
+        i uses seed + i. Returns wav [1, S] (int16 with `pcm16=True`)."""
+        if ref is None:
+            ref = self.prepare_reference(
+                ref_audio_path=ref_audio_path,
+                ref_tokens_tq=ref_tokens_tq,
+                ref_seconds=kwargs.pop("ref_seconds", None),
+            )
+        else:
+            kwargs.pop("ref_seconds", None)
+        chunks = split_sentences(text, max_chars=max_chars)
+        if not chunks:
+            return np.zeros((1, 0), np.int16 if pcm16 else np.float32)
+        if len(chunks) == 1:
+            return self.synthesize(
+                chunks[0], ref=ref, max_frames=max_frames, seed=seed,
+                pcm16=pcm16, **kwargs,
+            )
+        outs = self.synthesize_batch(
+            chunks, ref=ref, max_frames=max_frames,
+            seeds=[seed + i for i in range(len(chunks))], pcm16=pcm16,
+            **kwargs,
+        )
+        gap = int(round(gap_ms / 1000.0 * TARGET_SR))
+        dtype = np.int16 if pcm16 else np.float32
+        sil = np.zeros((1, gap), dtype)
+        parts = []
+        for i, w in enumerate(outs):
+            if i:
+                parts.append(sil)
+            parts.append(np.asarray(w, dtype))
+        return np.concatenate(parts, axis=1)
 
     def stream(self, text: str, **kwargs) -> Iterator[np.ndarray]:
         """Chunked synthesis (reference: src/sopro/model.py:577-580 ->

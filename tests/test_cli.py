@@ -48,3 +48,23 @@ def test_cli_synthesize_random(tmp_path):
     wav, sr = load_audio_file(str(out))
     assert sr == 24000
     assert wav.shape[0] % 1920 == 0
+
+
+@pytest.mark.slow
+def test_cli_long_form(tmp_path):
+    """--long splits into sentence chunks, batches, and stitches with
+    silence gaps (capability past the reference's 32 s cap)."""
+    toks = np.random.default_rng(0).integers(0, 2048, size=(24, 32)).astype(np.int32)
+    np.save(tmp_path / "ref.npy", toks)
+    out = tmp_path / "out.wav"
+    r = run_cli([
+        "--text", "First sentence. Second sentence. Third one.",
+        "--random_init", "--device", "cpu",
+        "--ref_tokens", str(tmp_path / "ref.npy"), "--out", str(out),
+        "--max_frames", "12", "--seed", "1", "--long", "--gap_ms", "50",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    from sopro_tpu.audio import load_audio_file
+
+    wav, sr = load_audio_file(str(out))
+    assert sr == 24000 and wav.size > 0

@@ -320,3 +320,59 @@ def test_encode_reference_from_audio(pair, tmp_path, rng):
     sv = tts.encode_speaker(ref_tokens_tq=toks)
     assert sv.shape == (tts.cfg.sv_student_dim,)
     np.testing.assert_allclose(np.linalg.norm(sv), 1.0, rtol=1e-5)
+
+
+def test_split_sentences():
+    from sopro_tpu.tts import split_sentences
+
+    assert split_sentences("") == []
+    assert split_sentences("One sentence only.") == ["One sentence only."]
+    # short sentences merge up to max_chars
+    out = split_sentences("A one. B two! C three? D four.", max_chars=16)
+    assert all(len(c) <= 16 for c in out)
+    assert " ".join(out).replace("  ", " ").count("one") == 1
+    joined = " ".join(out)
+    for word in ("one", "two", "three", "four"):
+        assert word in joined
+    # an over-long run of text without enders falls back to word breaks
+    long = "word " * 50
+    out = split_sentences(long.strip(), max_chars=40)
+    assert len(out) > 1
+    assert all(len(c) <= 41 for c in out)
+    assert " ".join(out).split() == long.split()
+
+
+def test_synthesize_long(pair, rng):
+    """Long-form synthesis (capability beyond the reference's 400-frame
+    cap): sentence chunks decode as one padded batch and stitch with the
+    requested silence gap; each chunk's audio equals a solo batch row with
+    the same (text, seed)."""
+    _, tts = pair
+    ref_tokens = rng.integers(
+        0, CFG["codebook_size"], size=(10, CFG["num_codebooks"])
+    )
+    pref = tts.engine.prepare_reference(ref_tokens.astype(np.int32))
+    sr = 24000
+    gap_ms = 80.0
+
+    text = "Alpha one. Beta two. Gamma three."
+    from sopro_tpu.tts import split_sentences
+
+    chunks = split_sentences(text, max_chars=12)
+    assert len(chunks) == 3
+
+    wav = tts.synthesize_long(
+        text, ref=pref, max_frames=CFG["max_frames"], gap_ms=gap_ms,
+        max_chars=12, seed=5,
+    )
+    solo = tts.synthesize_batch(
+        chunks, ref=pref, max_frames=CFG["max_frames"],
+        seeds=[5, 6, 7],
+    )
+    gap = int(round(gap_ms / 1000.0 * sr))
+    expect = sum(w.shape[1] for w in solo) + gap * (len(solo) - 1)
+    assert wav.shape == (1, expect)
+    # chunk 0 occupies the head; chunk 2 the tail; gaps are silent
+    np.testing.assert_array_equal(wav[:, : solo[0].shape[1]], solo[0])
+    np.testing.assert_array_equal(wav[:, -solo[2].shape[1]:], solo[2])
+    assert np.all(wav[0, solo[0].shape[1]: solo[0].shape[1] + gap] == 0)

@@ -99,7 +99,6 @@ def main() -> None:
         from jax import lax
 
         import sopro_tpu.models.sopro as M
-        from sopro_tpu.codec.mimi_jax import mimi_decode
         from sopro_tpu.config import pick_bucket
         from sopro_tpu.engine import _pad_axis
 
@@ -111,7 +110,7 @@ def main() -> None:
         mask_j = jnp.asarray(mask_np)
         s = max_frames + 1
 
-        def synth_body(params, mp, ref_arg, seed_i):
+        def synth_body(params, mp, slabs, ref_arg, seed_i):
             prep = M.prepare_conditioning(
                 params, tts.cfg, ids, mask_j, ref_arg,
                 max_frames=max_frames, style_strength=1.0,
@@ -134,16 +133,17 @@ def main() -> None:
                 params, tts.cfg, prep["cond_ar"], carry.tokens,
                 mask=frame_mask,
             )
-            wav = mimi_decode(mp, eng.mimi_cfg, toks)
+            wav = eng._mimi_decode_1row(mp, slabs, toks)
             return jnp.sum(wav[:, ::4096]).astype(jnp.float32)
 
         def rep(n):
             # params ride as jit ARGUMENTS (closing over them would bake
             # them into the HLO as constants)
             @jax.jit
-            def run(params, mp, ref_arg, seed0):
+            def run(params, mp, slabs, ref_arg, seed0):
                 def it(i, acc):
-                    return acc + synth_body(params, mp, ref_arg, seed0 + i)
+                    return acc + synth_body(params, mp, slabs, ref_arg,
+                                            seed0 + i)
 
                 return lax.fori_loop(0, n, it, jnp.float32(0.0))
 
@@ -161,8 +161,10 @@ def main() -> None:
                 out.append(time.perf_counter() - t0)
             return min(out)
 
-        t1 = tmin(lambda: r1(eng.params, eng.mimi_params, ref, jnp.int32(0)))
-        t3 = tmin(lambda: r3(eng.params, eng.mimi_params, ref, jnp.int32(0)))
+        t1 = tmin(lambda: r1(eng.params, eng.mimi_params, eng.mimi_slabs,
+                             ref, jnp.int32(0)))
+        t3 = tmin(lambda: r3(eng.params, eng.mimi_params, eng.mimi_slabs,
+                             ref, jnp.int32(0)))
         onchip_ms = (t3 - t1) / 2.0 * 1000.0
 
     # ---- streaming TTFA ---------------------------------------------------

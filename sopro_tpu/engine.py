@@ -89,7 +89,33 @@ class Engine:
             if self.rt.use_pallas_resident is not None
             else jax.default_backend() == "tpu"
         )
+        use_pv = (
+            self.rt.use_pallas_vocoder
+            if self.rt.use_pallas_vocoder is not None
+            else jax.default_backend() == "tpu"
+        )
+        self.mimi_slabs = None
+        if use_pv and self.mimi_params is not None and mimi_cfg is not None:
+            from sopro_tpu.codec.pallas_vocoder import (
+                pack_seanet_decoder, pallas_vocoder_supported,
+            )
+
+            if pallas_vocoder_supported(mimi_cfg):
+                self.mimi_slabs = jax.device_put(
+                    pack_seanet_decoder(
+                        self.mimi_params["decoder"], mimi_cfg
+                    )
+                )
         self._fns: Dict[Tuple, Any] = {}
+
+    def _mimi_decode_1row(self, mp, slabs, toks_btq):
+        """Single-row full decode: fused Pallas SEANet when packed slabs
+        exist, XLA otherwise (batch rows always use the XLA path)."""
+        if slabs is not None:
+            from sopro_tpu.codec.pallas_vocoder import mimi_decode_with_slabs
+
+            return mimi_decode_with_slabs(mp, slabs, self.mimi_cfg, toks_btq)
+        return mimi_decode(mp, self.mimi_cfg, toks_btq)
 
     # -- jit cache ---------------------------------------------------------
 
@@ -270,12 +296,12 @@ class Engine:
         tb = min(self._frame_bucket(t), cond_ar.shape[1])
 
         def build():
-            def f(params, mp, cond, tokens, t):
+            def f(params, mp, slabs, cond, tokens, t):
                 mask = (jnp.arange(tb)[None] < t)
                 toks_q = M.nar_refine(
                     params, self.cfg, cond[:, :tb], tokens[:, :tb], mask=mask
                 )
-                wav = mimi_decode(mp, self.mimi_cfg, toks_q)
+                wav = self._mimi_decode_1row(mp, slabs, toks_q)
                 if pcm16:
                     wav = jnp.round(
                         jnp.clip(wav.astype(jnp.float32), -1.0, 1.0) * 32767.0
@@ -288,8 +314,8 @@ class Engine:
              bool(pcm16)),
             build,
         )
-        wav = fn(self.params, self.mimi_params, cond_ar, tokens_dev,
-                 jnp.int32(t))
+        wav = fn(self.params, self.mimi_params, self.mimi_slabs, cond_ar,
+                 tokens_dev, jnp.int32(t))
         return np.asarray(wav[:, : t * self.mimi_cfg.hop_length])
 
     # -- NAR + vocoder -----------------------------------------------------
@@ -320,10 +346,10 @@ class Engine:
         t = int(tokens_tq.shape[0])
         tb = self._frame_bucket(t)
         toks = _pad_axis(np.asarray(tokens_tq, np.int32), 0, tb)[None]
-        fn = self._fn(("mimi_dec", tb), lambda: functools.partial(
-            mimi_decode, cfg=self.mimi_cfg
+        fn = self._fn(("mimi_dec", tb), lambda: (
+            lambda mp, slabs, codes: self._mimi_decode_1row(mp, slabs, codes)
         ))
-        wav = fn(self.mimi_params, codes_btq=jnp.asarray(toks))
+        wav = fn(self.mimi_params, self.mimi_slabs, jnp.asarray(toks))
         return np.asarray(wav[:, : t * self.mimi_cfg.hop_length])
 
     def encode_audio(self, wav: np.ndarray) -> np.ndarray:
@@ -369,8 +395,8 @@ class Engine:
         s = int(max_frames) + 1
 
         def build():
-            def f(params, mp, ids, mask, ref, strength, key, top_p, temp,
-                  min_gen):
+            def f(params, mp, slabs, ids, mask, ref, strength, key, top_p,
+                  temp, min_gen):
                 prep = M.prepare_conditioning(
                     params, self.cfg, ids, mask, ref,
                     max_frames=max_frames, style_strength=strength,
@@ -394,7 +420,7 @@ class Engine:
                     params, self.cfg, prep["cond_ar"], carry.tokens,
                     mask=frame_mask,
                 )
-                wav = mimi_decode(mp, self.mimi_cfg, toks)  # [1, s*hop]
+                wav = self._mimi_decode_1row(mp, slabs, toks)  # [1, s*hop]
                 if pcm16:
                     pcm = jnp.round(
                         jnp.clip(wav.astype(jnp.float32), -1.0, 1.0) * 32767.0
@@ -414,9 +440,10 @@ class Engine:
             build,
         )
         packed = fn(
-            self.params, self.mimi_params, jnp.asarray(ids), jnp.asarray(mask),
-            ref, jnp.float32(style_strength), jax.random.PRNGKey(int(seed)),
-            jnp.float32(top_p), jnp.float32(temperature), jnp.int32(min_gen),
+            self.params, self.mimi_params, self.mimi_slabs, jnp.asarray(ids),
+            jnp.asarray(mask), ref, jnp.float32(style_strength),
+            jax.random.PRNGKey(int(seed)), jnp.float32(top_p),
+            jnp.float32(temperature), jnp.int32(min_gen),
         )
         flat = np.asarray(packed)  # the ONE readback
         t = int(flat[-1])

@@ -132,6 +132,44 @@ def test_resident_kernel_real_mosaic(full_size):
     np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
 
 
+def test_pallas_vocoder_real_mosaic(rng):
+    """Fused SEANet vocoder under the REAL Mosaic lowering vs the XLA
+    decoder at full Mimi size (bf16 tolerance: different accumulation
+    groupings)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sopro_tpu.codec.convert import init_mimi_params
+    from sopro_tpu.codec.mimi_config import MimiConfig, decoder_plan
+    from sopro_tpu.codec.mimi_jax import seanet_apply
+    from sopro_tpu.codec.pallas_vocoder import (
+        pack_seanet_decoder, seanet_decode_pallas,
+    )
+
+    cfg = MimiConfig()
+    p = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.bfloat16), init_mimi_params(0, cfg)
+    )
+    slabs = jax.device_put(pack_seanet_decoder(p["decoder"], cfg))
+    dec = jax.device_put(p["decoder"])
+    emb = jnp.asarray(
+        rng.standard_normal((1, 90, cfg.hidden_size)) * 0.3, jnp.bfloat16
+    )
+    ref = np.asarray(
+        jax.jit(lambda d, e: seanet_apply(d, decoder_plan(cfg), e)[..., 0])(
+            dec, emb
+        ),
+        np.float32,
+    )
+    out = np.asarray(
+        jax.jit(lambda s, e: seanet_decode_pallas(s, cfg, e))(slabs, emb),
+        np.float32,
+    )
+    assert out.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 0.02 * scale + 1e-4
+
+
 def test_synthesize_small_on_chip():
     """End-to-end synthesize at full model size on the real device: finite,
     frame-aligned audio through the fused and adaptive plans."""

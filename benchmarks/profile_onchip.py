@@ -74,12 +74,17 @@ def main():
         mp, p = eng.mimi_params, eng.params
 
         # ---- NAR ----
+        from sopro_tpu.models.sopro import cb_spec as _cb_spec
+
         def nar_body(x, i):
             toks = nar_refine(
-                p["nar"], p["cb_embed"], None, p["nar_prev_cb_weights"],
+                p["nar"], p["cb_embed"], _cb_spec(cfg),
+                p["nar_prev_cb_weights"],
                 cfg, cond, (x + i) % cfg.codebook_size,
             )
-            return toks[:, :, 1] % cfg.codebook_size
+            # consume EVERY codebook: returning a single stage's slice lets
+            # XLA dead-code-eliminate the other stage passes entirely
+            return jnp.sum(toks, axis=-1) % cfg.codebook_size
 
         # ---- full vocoder ----
         def voc_body(x, i):

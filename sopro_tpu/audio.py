@@ -37,8 +37,9 @@ def load_audio_file(path: str) -> Tuple[np.ndarray, int]:
 
             sr, data = wavfile.read(path)
             return _to_float_mono(data), int(sr)
-    raise RuntimeError(
-        f"Cannot read {path!r}: only WAV is supported without soundfile."
+    raise ValueError(
+        f"Cannot read {path!r}: only WAV is supported without soundfile "
+        "(install the 'audio' extra for mp3/flac/ogg/webm support)."
     )
 
 
@@ -65,7 +66,7 @@ def _load_wav_stdlib(path: str) -> Tuple[np.ndarray, int]:
         i32 = np.where(i32 >= 1 << 23, i32 - (1 << 24), i32)
         data = i32.astype(np.float32) / float(1 << 23)
     else:  # pragma: no cover
-        raise RuntimeError(f"unsupported WAV sample width {width}")
+        raise ValueError(f"unsupported WAV sample width {width}")
     if ch > 1:
         data = data.reshape(-1, ch).mean(axis=1)
     return data.astype(np.float32), int(sr)

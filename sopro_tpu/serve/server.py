@@ -252,7 +252,10 @@ def build_app():
         tts, _ = get_tts()
         rs = _effective_ref_seconds(ref_seconds)
         suffix = os.path.splitext(ref_audio.filename or "")[-1] or ".wav"
-        get_or_compute_ref(tts, data, suffix=suffix, ref_seconds=rs)
+        try:
+            get_or_compute_ref(tts, data, suffix=suffix, ref_seconds=rs)
+        except ValueError as e:  # undecodable container, bad audio payload
+            raise HTTPException(status_code=400, detail=str(e))
         return {"ref_id": sha256_bytes(data), "ref_seconds": rs}
 
     @app.post("/v1/audio/speech")
@@ -298,7 +301,12 @@ def build_app():
             if not data:
                 raise HTTPException(status_code=400, detail="Empty `ref_audio` upload.")
             suffix = os.path.splitext(ref_audio.filename or "")[-1] or ".wav"
-            ref = get_or_compute_ref(tts, data, suffix=suffix, ref_seconds=rs)
+            try:
+                ref = get_or_compute_ref(
+                    tts, data, suffix=suffix, ref_seconds=rs
+                )
+            except ValueError as e:  # undecodable container
+                raise HTTPException(status_code=400, detail=str(e))
 
         # param clamps (reference: demo/server.py:217-220)
         max_frames = int(max(1, min(int(max_frames), 2000)))

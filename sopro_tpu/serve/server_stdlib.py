@@ -162,7 +162,10 @@ class Handler(BaseHTTPRequestHandler):
             float(fields["ref_seconds"]) if fields.get("ref_seconds") else None
         )
         suffix = os.path.splitext(filename or "")[-1] or ".wav"
-        core.get_or_compute_ref(tts, data, suffix=suffix, ref_seconds=rs)
+        try:
+            core.get_or_compute_ref(tts, data, suffix=suffix, ref_seconds=rs)
+        except ValueError as e:  # undecodable container, bad audio payload
+            return self._json(400, {"detail": str(e)})
         return self._json(
             200, {"ref_id": core.sha256_bytes(data), "ref_seconds": rs}
         )
@@ -197,7 +200,12 @@ class Handler(BaseHTTPRequestHandler):
         else:
             filename, data = files["ref_audio"]
             suffix = os.path.splitext(filename or "")[-1] or ".wav"
-            ref = core.get_or_compute_ref(tts, data, suffix=suffix, ref_seconds=rs)
+            try:
+                ref = core.get_or_compute_ref(
+                    tts, data, suffix=suffix, ref_seconds=rs
+                )
+            except ValueError as e:  # undecodable container
+                return self._json(400, {"detail": str(e)})
 
         max_frames = int(max(1, min(int(fields.get("max_frames", 400)), 2000)))
         top_p = float(max(0.01, min(float(fields.get("top_p", 0.9)), 1.0)))

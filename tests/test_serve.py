@@ -542,6 +542,17 @@ def test_server_http_contract(tts, monkeypatch, tmp_path):
         assert code == 200, body
         rid = json.loads(body)["ref_id"]
 
+        # undecodable upload (not WAV, no soundfile in this image) -> clear
+        # 400, not a 500 (reference decodes via soundfile/torchaudio;
+        # our optional-dep fallback must fail loudly)
+        code, _, body400 = _post(
+            f"{base}/v1/reference/cache",
+            {"ref_seconds": "0.016"},
+            {"ref_audio": ("ref.webm", b"\x1aE\xdf\xa3 not audio")},
+        )
+        assert code == 400, body400
+        assert b"WAV" in body400 or b"soundfile" in body400
+
         # malformed ref_id (path-traversal shape) -> 400, never a file probe
         code, _, _b = _post(
             f"{base}/v1/audio/speech",

@@ -239,11 +239,11 @@ def _seanet_kernel(
     up3_w, up3_b, tail_A, tail_B, tail_b3, tail_C1, tail_b1,
     fin_Gc, fin_Gp, fin_b,
     # output
-    out_ref,  # [TILE * hop25 // 128, 128]: 128 consecutive samples per row
+    out_ref,  # [1, TILE*hop25//128, 128]: 128 consecutive samples per row
 ):
-    i = pl.program_id(0)
+    i = pl.program_id(1)  # tile index (grid dim 0 is the batch row)
     start = pl.multiple_of(i * TILE, 8)
-    h = x_ref[pl.ds(start, TILE + halo), :]
+    h = x_ref[0, pl.ds(start, TILE + halo), :]
 
     h = _vconv(h, conv0_w, conv0_b, int(cfg.kernel_size))
 
@@ -294,7 +294,7 @@ def _seanet_kernel(
     # final k=3 conv over the regrouped layout: the tile's output is the
     # LAST (rows+1)*GROUP packed-2 rows (one GROUP of left context)
     e3 = _elu(x3)
-    rows = out_ref.shape[0]
+    rows = out_ref.shape[1]
     need = (rows + 1) * GROUP
     start3 = e3.shape[0] - need
     xg = e3[start3:, :].reshape(rows + 1, GROUP * e3.shape[1])
@@ -304,7 +304,7 @@ def _seanet_kernel(
                   preferred_element_type=jnp.float32)
         + fin_b[...].astype(jnp.float32)
     ).astype(x2.dtype)  # [rows, 128]
-    out_ref[...] = y
+    out_ref[...] = y[None]
 
 
 def pallas_vocoder_supported(cfg: MimiConfig) -> bool:
@@ -335,8 +335,8 @@ def mimi_decode_with_slabs(
     positions=None,
 ) -> jnp.ndarray:
     """mimi_jax.mimi_decode with the SEANet stage replaced by the fused
-    Pallas kernel (B == 1 only): codes [1, T, Q] -> wav [1, T*hop].
-    Measured 3.24 vs 14.93 ms on-chip for 32 s of audio on v5e-1."""
+    Pallas kernel: codes [B, T, Q] -> wav [B, T*hop].
+    Measured 3.24 vs 14.93 ms on-chip for B=1, 32 s of audio on v5e-1."""
     from sopro_tpu.codec.mimi_jax import (
         mimi_convt, mimi_transformer, rvq_decode, upsample_spec,
     )
@@ -352,15 +352,18 @@ def mimi_decode_with_slabs(
 def seanet_decode_pallas(
     slabs: Params,
     cfg: MimiConfig,
-    emb: jnp.ndarray,  # [1, T25, H] (post-upsample, post-transformer)
+    emb: jnp.ndarray,  # [B, T25, H] (post-upsample, post-transformer)
     *,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """SEANet decode -> wav [1, T25 * hop25] (hop25 = 960 @ 24 kHz)."""
+    """SEANet decode -> wav [B, T25 * hop25] (hop25 = 960 @ 24 kHz).
+
+    Batched inputs extend the grid to (B, n_tiles); weight slabs keep a
+    constant index map so they are fetched into VMEM once for the whole
+    batch."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t25, hdim = emb.shape
-    assert b == 1, "pallas vocoder path is single-row; batch stays on XLA"
     assert int(cfg.num_residual_layers) == 1, "kernel packs 1 resnet/stage"
     hop25 = 1
     for r in cfg.upsampling_ratios:
@@ -369,8 +372,9 @@ def seanet_decode_pallas(
     halo = required_halo(cfg)
     n_tiles = pl.cdiv(t25, TILE)
     t_pad = n_tiles * TILE
-    x = emb[0]
-    x = jnp.pad(x, ((halo, t_pad - t25), (0, 0)))  # causal zeros + tail pad
+    x = jnp.pad(
+        emb, ((0, 0), (halo, t_pad - t25), (0, 0))
+    )  # causal zeros + tail pad
 
     order = [
         "conv0_w", "conv0_b",
@@ -385,18 +389,26 @@ def seanet_decode_pallas(
     rows = TILE * hop25 // 128
     assert TILE * hop25 % 128 == 0
     kernel = functools.partial(_seanet_kernel, cfg, halo)
-    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(
+            (1, t_pad + halo, hdim), lambda bi, i: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ] + [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args[1:]
+    ]
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
-        in_specs=[full() for _ in args],
+        grid=(b, n_tiles),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (1, rows, 128), lambda bi, i: (bi, i, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * rows, 128), emb.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * rows, 128), emb.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
-    return out.reshape(1, -1)[:, : t25 * hop25]
+    return out.reshape(b, -1)[:, : t25 * hop25]

@@ -109,8 +109,9 @@ class Engine:
         self._fns: Dict[Tuple, Any] = {}
 
     def _mimi_decode_1row(self, mp, slabs, toks_btq):
-        """Single-row full decode: fused Pallas SEANet when packed slabs
-        exist, XLA otherwise (batch rows always use the XLA path)."""
+        """Full decode (any row count): fused Pallas SEANet when packed
+        slabs are passed (batched inputs extend the kernel grid over rows),
+        XLA otherwise (dp-sharded dispatches, unsupported codec shapes)."""
         if slabs is not None:
             from sopro_tpu.codec.pallas_vocoder import mimi_decode_with_slabs
 
@@ -518,9 +519,14 @@ class Engine:
             mask[i, : len(r)] = True
         s = int(max_frames) + 1
 
+        # fused Pallas vocoder for the batch: grid covers (rows, tiles) with
+        # weights fetched once; a GSPMD mesh cannot partition a pallas_call,
+        # so dp-sharded dispatches stay on the XLA decoder
+        use_slabs = self.mimi_slabs is not None and mesh is None
+
         def build():
-            def f(params, mp, ids, mask, ref, strength, keys, top_p, temp,
-                  min_gen):
+            def f(params, mp, slabs, ids, mask, ref, strength, keys, top_p,
+                  temp, min_gen):
                 prep = M.prepare_conditioning(
                     params, self.cfg, ids, mask, ref,
                     max_frames=max_frames, style_strength=strength,
@@ -554,7 +560,10 @@ class Engine:
                     params, self.cfg, prep["cond_ar"], carry.tokens,
                     mask=frame_mask,
                 )
-                wav = mimi_decode(mp, self.mimi_cfg, toks)
+                wav = (
+                    self._mimi_decode_1row(mp, slabs, toks)
+                    if use_slabs else mimi_decode(mp, self.mimi_cfg, toks)
+                )
                 if pcm16:
                     wav = jnp.round(
                         jnp.clip(wav.astype(jnp.float32), -1.0, 1.0) * 32767.0
@@ -593,7 +602,8 @@ class Engine:
                 self.mimi_params = jax.device_put(self.mimi_params, repl)
         ids_d, mask_d, ref_d, keys_d = args
         return fn(
-            self.params, self.mimi_params, ids_d, mask_d,
+            self.params, self.mimi_params,
+            self.mimi_slabs if use_slabs else None, ids_d, mask_d,
             ref_d, jnp.float32(style_strength), keys_d,
             jnp.float32(top_p), jnp.float32(temperature), jnp.int32(min_gen),
         )

@@ -55,6 +55,28 @@ def test_seanet_kernel_matches_xla(full_cfg, rng):
         )
 
 
+def test_seanet_kernel_batched(full_cfg, rng):
+    """Batched rows (grid over B x tiles) must equal per-row decodes."""
+    cfg, p = full_cfg
+    slabs = pack_seanet_decoder(p["decoder"], cfg)
+    emb = jnp.asarray(
+        rng.standard_normal((3, 22, cfg.hidden_size)) * 0.3, jnp.float32
+    )
+    out = seanet_decode_pallas(slabs, cfg, emb, interpret=True)
+    for bi in range(3):
+        solo = seanet_decode_pallas(
+            slabs, cfg, emb[bi: bi + 1], interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[bi: bi + 1]), np.asarray(solo),
+            rtol=1e-6, atol=1e-7, err_msg=f"row {bi}",
+        )
+    ref = seanet_apply(p["decoder"], decoder_plan(cfg), emb)[..., 0]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_mimi_decode_with_slabs_matches_full(full_cfg, rng):
     """End-to-end codes->wav equality between the slab path (Pallas SEANet)
     and the plain mimi_decode."""

@@ -98,7 +98,6 @@ def main() -> None:
         import jax.numpy as jnp
         from jax import lax
 
-        import sopro_tpu.models.sopro as M
         from sopro_tpu.config import pick_bucket
         from sopro_tpu.engine import _pad_axis
 
@@ -108,32 +107,15 @@ def main() -> None:
         mask_np = np.zeros((1, lb), bool)
         mask_np[:, : len(ids_row)] = True
         mask_j = jnp.asarray(mask_np)
-        s = max_frames + 1
 
         def synth_body(params, mp, slabs, ref_arg, seed_i):
-            prep = M.prepare_conditioning(
-                params, tts.cfg, ids, mask_j, ref_arg,
-                max_frames=max_frames, style_strength=1.0,
+            # the PRODUCTION fused graph, shared with Engine.synthesize_fused
+            wav, _t = eng.fused_synth_graph(
+                params, mp, slabs, ids, mask_j, ref_arg, jnp.float32(1.0),
+                jax.random.PRNGKey(seed_i), jnp.float32(0.9),
+                jnp.float32(1.05), jnp.int32(tts.cfg.min_gen_frames),
+                max_frames=max_frames, anti_loop=True,
             )
-            settings = M.ARSettings(
-                top_p=jnp.float32(0.9), temperature=jnp.float32(1.05),
-                recovery_top_p=jnp.float32(0.85),
-                recovery_temp=jnp.float32(1.2),
-                min_gen_frames=jnp.int32(tts.cfg.min_gen_frames),
-            )
-            carry = M.ar_generate(
-                params, tts.cfg, prep["cond_ar"], prep["txt_seq"], mask_j,
-                jax.random.PRNGKey(seed_i), settings, s,
-                kv_caches=eng._ar_kv(params, prep["txt_seq"], mask_j,
-                                     resident=True),
-            )
-            t = jnp.minimum(carry.first_eos, carry.t)
-            frame_mask = jnp.arange(s)[None, :] < t[:, None]
-            toks = M.nar_refine(
-                params, tts.cfg, prep["cond_ar"], carry.tokens,
-                mask=frame_mask,
-            )
-            wav = eng._mimi_decode_1row(mp, slabs, toks)
             return jnp.sum(wav[:, ::4096]).astype(jnp.float32)
 
         def rep(n):

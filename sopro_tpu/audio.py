@@ -21,6 +21,7 @@ def load_audio_file(path: str) -> Tuple[np.ndarray, int]:
     WAV via stdlib `wave` (PCM16/24/32 + IEEE float via scipy fallback);
     soundfile is used when importable for other containers
     (reference: src/sopro/audio.py:89-105)."""
+    sf_err = None
     try:
         import soundfile as sf  # optional
 
@@ -28,6 +29,11 @@ def load_audio_file(path: str) -> Tuple[np.ndarray, int]:
         return data.mean(axis=1).astype(np.float32), int(sr)
     except ImportError:
         pass
+    except Exception as e:
+        # libsndfile raises its own RuntimeError subclass on undecodable
+        # input; try the stdlib WAV fallback, else surface a client error
+        # (the servers map ValueError to a 400)
+        sf_err = e
 
     if path.lower().endswith(".wav"):
         try:
@@ -37,6 +43,8 @@ def load_audio_file(path: str) -> Tuple[np.ndarray, int]:
 
             sr, data = wavfile.read(path)
             return _to_float_mono(data), int(sr)
+    if sf_err is not None:
+        raise ValueError(f"Cannot decode {path!r}: {sf_err}")
     raise ValueError(
         f"Cannot read {path!r}: only WAV is supported without soundfile "
         "(install the 'audio' extra for mp3/flac/ogg/webm support)."

@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    if args.stream and args.long:
+        print("error: --stream and --long are mutually exclusive",
+              file=sys.stderr)
+        return 2
+
     if args.device == "cpu":
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax

@@ -365,6 +365,42 @@ class Engine:
 
     # -- fused single-dispatch synthesize ----------------------------------
 
+    def fused_synth_graph(
+        self, params, mp, slabs, ids, mask, ref, strength, key, top_p,
+        temp, min_gen, *, max_frames: int, anti_loop: bool,
+    ):
+        """The traced body of the fused pipeline — conditioning + AR decode
+        (resident kernel when eligible) + NAR + vocoder — shared by
+        `synthesize_fused` and bench.py's on-chip probe so the published
+        numbers always measure the production graph. Returns
+        (wav [1, (max_frames+1)*hop], t [1])."""
+        s = int(max_frames) + 1
+        prep = M.prepare_conditioning(
+            params, self.cfg, ids, mask, ref,
+            max_frames=max_frames, style_strength=strength,
+        )
+        settings = M.ARSettings(
+            top_p=top_p, temperature=temp,
+            recovery_top_p=jnp.float32(0.85),
+            recovery_temp=jnp.float32(1.2),
+            min_gen_frames=min_gen, anti_loop=anti_loop,
+        )
+        carry = M.ar_generate(
+            params, self.cfg, prep["cond_ar"], prep["txt_seq"],
+            mask, key, settings, s,
+            kv_caches=self._ar_kv(
+                params, prep["txt_seq"], mask, resident=True
+            ),
+        )
+        t = jnp.minimum(carry.first_eos, carry.t)  # [1]
+        frame_mask = jnp.arange(s)[None, :] < t[:, None]
+        toks = M.nar_refine(
+            params, self.cfg, prep["cond_ar"], carry.tokens,
+            mask=frame_mask,
+        )
+        wav = self._mimi_decode_1row(mp, slabs, toks)  # [1, s*hop]
+        return wav, t
+
     def synthesize_fused(
         self,
         ids_row: np.ndarray,
@@ -398,30 +434,11 @@ class Engine:
         def build():
             def f(params, mp, slabs, ids, mask, ref, strength, key, top_p,
                   temp, min_gen):
-                prep = M.prepare_conditioning(
-                    params, self.cfg, ids, mask, ref,
-                    max_frames=max_frames, style_strength=strength,
+                wav, t = self.fused_synth_graph(
+                    params, mp, slabs, ids, mask, ref, strength, key,
+                    top_p, temp, min_gen,
+                    max_frames=max_frames, anti_loop=anti_loop,
                 )
-                settings = M.ARSettings(
-                    top_p=top_p, temperature=temp,
-                    recovery_top_p=jnp.float32(0.85),
-                    recovery_temp=jnp.float32(1.2),
-                    min_gen_frames=min_gen, anti_loop=anti_loop,
-                )
-                carry = M.ar_generate(
-                    params, self.cfg, prep["cond_ar"], prep["txt_seq"],
-                    mask, key, settings, s,
-                    kv_caches=self._ar_kv(
-                        params, prep["txt_seq"], mask, resident=True
-                    ),
-                )
-                t = jnp.minimum(carry.first_eos, carry.t)  # [1]
-                frame_mask = jnp.arange(s)[None, :] < t[:, None]
-                toks = M.nar_refine(
-                    params, self.cfg, prep["cond_ar"], carry.tokens,
-                    mask=frame_mask,
-                )
-                wav = self._mimi_decode_1row(mp, slabs, toks)  # [1, s*hop]
                 if pcm16:
                     pcm = jnp.round(
                         jnp.clip(wav.astype(jnp.float32), -1.0, 1.0) * 32767.0

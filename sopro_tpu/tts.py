@@ -55,7 +55,8 @@ def split_sentences(text: str, max_chars: int = 350) -> list:
         out = []
         while len(s) > max_chars:
             window = s[: max_chars + 1]
-            cut = max(window.rfind(", "), window.rfind(" "))
+            comma = window.rfind(", ")
+            cut = comma + 1 if comma > 0 else window.rfind(" ")
             if cut <= 0:
                 cut = max_chars
             out.append(s[:cut].strip())

@@ -68,3 +68,11 @@ def test_cli_long_form(tmp_path):
 
     wav, sr = load_audio_file(str(out))
     assert sr == 24000 and wav.size > 0
+
+
+def test_cli_stream_long_conflict(tmp_path):
+    r = run_cli(["--text", "hi", "--random_init", "--device", "cpu",
+                 "--ref_tokens", "x.npy", "--stream", "--long",
+                 "--out", str(tmp_path / "o.wav")])
+    assert r.returncode == 2
+    assert "mutually exclusive" in r.stderr

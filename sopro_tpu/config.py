@@ -168,7 +168,7 @@ class RuntimeConfig:
     # kernel-launch + XLA-glue cost that dominates the per-step paths:
     # measured 18.5 vs 70 us/step on v5e (7.4 ms for a 401-step decode).
     # None (default) = auto: ON for TPU when the single-stream
-    # full-generate path qualifies (B == 1, text bucket <= 256), OFF
+    # full-generate path qualifies (B == 1, text bucket <= 512), OFF
     # elsewhere. Sampling uses an in-kernel counter-based RNG, so token
     # streams differ from the XLA path for the same seed (both are correct
     # samples; near-greedy decoding matches the XLA path bit-for-bit up to

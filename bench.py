@@ -149,6 +149,71 @@ def main() -> None:
                              ref, jnp.int32(0)))
         onchip_ms = (t3 - t1) / 2.0 * 1000.0
 
+    # ---- on-chip batch-32 aggregate (link-free batch throughput) ----------
+    onchip_batch32_x = None
+    if os.environ.get("SOPRO_BENCH_ONCHIP", "1") != "0":
+        import jax.numpy as jnp
+        from jax import lax
+
+        from sopro_tpu.config import pick_bucket
+        from sopro_tpu.engine import _pad_axis
+
+        bt = [f"Utterance number {i} spoken by the batched synthesizer."
+              for i in range(32)]
+        rows = [tts.encode_text(x) for x in bt]
+        lb = pick_bucket(max(len(r) for r in rows), rt.text_buckets)
+        ids_b = np.zeros((32, lb), np.int32)
+        mask_b = np.zeros((32, lb), bool)
+        for i, r in enumerate(rows):
+            ids_b[i, : len(r)] = r
+            mask_b[i, : len(r)] = True
+        ids_b, mask_b = jnp.asarray(ids_b), jnp.asarray(mask_b)
+        bf = 150
+
+        def tile(x):
+            return (jnp.broadcast_to(x, (32,) + x.shape[1:])
+                    if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == 1
+                    else x)
+
+        ref32 = jax.tree.map(tile, ref)
+        use_slabs = eng.mimi_slabs is not None
+
+        def batch_body(params, mp, slabs, ref_arg, seed_i):
+            keys = jax.vmap(
+                lambda s: jax.random.split(jax.random.PRNGKey(s), 1)[0]
+            )(seed_i + jnp.arange(32))
+            wav, lengths = eng.batch_synth_graph(
+                params, mp, slabs, ids_b, mask_b, ref_arg,
+                jnp.float32(1.0), keys, jnp.float32(0.9), jnp.float32(1.05),
+                jnp.int32(tts.cfg.min_gen_frames),
+                max_frames=bf, anti_loop=True, use_slabs=use_slabs,
+            )
+            return (jnp.sum(wav[:, ::8192]) + jnp.sum(lengths)).astype(
+                jnp.float32
+            )
+
+        def brep(n):
+            @jax.jit
+            def run(params, mp, slabs, ref_arg, seed0):
+                def it(i, acc):
+                    return acc + batch_body(params, mp, slabs, ref_arg,
+                                            seed0 + 100 * i)
+
+                return lax.fori_loop(0, n, it, jnp.float32(0.0))
+
+            return run
+
+        b1, b3 = brep(1), brep(3)
+        bt1 = tmin(lambda: b1(eng.params, eng.mimi_params,
+                              eng.mimi_slabs if use_slabs else None,
+                              ref32, jnp.int32(0)))
+        bt3 = tmin(lambda: b3(eng.params, eng.mimi_params,
+                              eng.mimi_slabs if use_slabs else None,
+                              ref32, jnp.int32(0)))
+        b_ms = (bt3 - bt1) / 2.0
+        audio_s32 = 32 * bf / fps
+        onchip_batch32_x = audio_s32 / max(b_ms, 1e-9)
+
     # ---- streaming TTFA ---------------------------------------------------
     streamer = SoproTTSStreamer(tts, StreamConfig(chunk_frames=6))
 
@@ -245,6 +310,10 @@ def main() -> None:
             ),
             "onchip_synth_ms": (
                 round(onchip_ms, 1) if onchip_ms is not None else None
+            ),
+            "onchip_batch32_x_realtime": (
+                round(onchip_batch32_x, 1)
+                if onchip_batch32_x is not None else None
             ),
             "onchip_rtf": (
                 round(onchip_ms / 1000.0 / (wav.shape[1] / sr), 6)

@@ -366,6 +366,55 @@ class Engine:
 
     # -- fused single-dispatch synthesize ----------------------------------
 
+    def batch_synth_graph(
+        self, params, mp, slabs, ids, mask, ref, strength, keys, top_p,
+        temp, min_gen, *, max_frames: int, anti_loop: bool,
+        use_slabs: bool,
+    ):
+        """The traced body of the batched pipeline — batched conditioning +
+        per-row AR while_loop + one batched NAR + vocoder — shared by
+        `synthesize_batch_dispatch` and bench.py's on-chip batch probe.
+        Returns (wav [B, (max_frames+1)*hop], lengths [B])."""
+        s = int(max_frames) + 1
+        prep = M.prepare_conditioning(
+            params, self.cfg, ids, mask, ref,
+            max_frames=max_frames, style_strength=strength,
+        )
+        settings = M.ARSettings(
+            top_p=top_p, temperature=temp,
+            recovery_top_p=jnp.float32(0.85),
+            recovery_temp=jnp.float32(1.2),
+            min_gen_frames=min_gen, anti_loop=anti_loop,
+        )
+        kv = self._ar_kv(params, prep["txt_seq"], mask)
+        carry = M.init_ar_carry(
+            self.cfg, ids.shape[0], s, keys[0], self.dtype
+        )
+        carry = carry._replace(key=keys)
+        carry = M.maybe_pack_carry(carry, kv)
+
+        def cond_fn(c):
+            return jnp.any(M.ar_row_active(c, s))
+
+        carry = jax.lax.while_loop(
+            cond_fn,
+            lambda c: M.ar_single_step(
+                params, self.cfg, c, prep["cond_ar"], kv, settings
+            ),
+            carry,
+        )
+        lengths = jnp.minimum(carry.first_eos, carry.t)  # [B]
+        frame_mask = jnp.arange(s)[None, :] < lengths[:, None]
+        toks = M.nar_refine(
+            params, self.cfg, prep["cond_ar"], carry.tokens,
+            mask=frame_mask,
+        )
+        wav = (
+            self._mimi_decode_1row(mp, slabs, toks)
+            if use_slabs else mimi_decode(mp, self.mimi_cfg, toks)
+        )
+        return wav, lengths
+
     def fused_synth_graph(
         self, params, mp, slabs, ids, mask, ref, strength, key, top_p,
         temp, min_gen, *, max_frames: int, anti_loop: bool,
@@ -545,42 +594,11 @@ class Engine:
         def build():
             def f(params, mp, slabs, ids, mask, ref, strength, keys, top_p,
                   temp, min_gen):
-                prep = M.prepare_conditioning(
-                    params, self.cfg, ids, mask, ref,
-                    max_frames=max_frames, style_strength=strength,
-                )
-                settings = M.ARSettings(
-                    top_p=top_p, temperature=temp,
-                    recovery_top_p=jnp.float32(0.85),
-                    recovery_temp=jnp.float32(1.2),
-                    min_gen_frames=min_gen, anti_loop=anti_loop,
-                )
-                kv = self._ar_kv(params, prep["txt_seq"], mask)
-                carry = M.init_ar_carry(
-                    self.cfg, ids.shape[0], s, keys[0], self.dtype
-                )
-                carry = carry._replace(key=keys)
-                carry = M.maybe_pack_carry(carry, kv)
-
-                def cond_fn(c):
-                    return jnp.any(M.ar_row_active(c, s))
-
-                carry = jax.lax.while_loop(
-                    cond_fn,
-                    lambda c: M.ar_single_step(
-                        params, self.cfg, c, prep["cond_ar"], kv, settings
-                    ),
-                    carry,
-                )
-                lengths = jnp.minimum(carry.first_eos, carry.t)  # [B]
-                frame_mask = jnp.arange(s)[None, :] < lengths[:, None]
-                toks = M.nar_refine(
-                    params, self.cfg, prep["cond_ar"], carry.tokens,
-                    mask=frame_mask,
-                )
-                wav = (
-                    self._mimi_decode_1row(mp, slabs, toks)
-                    if use_slabs else mimi_decode(mp, self.mimi_cfg, toks)
+                wav, lengths = self.batch_synth_graph(
+                    params, mp, slabs, ids, mask, ref, strength, keys,
+                    top_p, temp, min_gen,
+                    max_frames=max_frames, anti_loop=anti_loop,
+                    use_slabs=use_slabs,
                 )
                 if pcm16:
                     wav = jnp.round(

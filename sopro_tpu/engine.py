@@ -480,6 +480,12 @@ class Engine:
         mask = np.zeros((1, lb), bool)
         mask[:, :l] = True
         s = int(max_frames) + 1
+        if pcm16 and s > 32767:
+            # the generated length rides in the int16 waveform buffer
+            raise ValueError(
+                f"max_frames={max_frames} exceeds the pcm16 packing bound "
+                "(32766); use pcm16=False for ultra-long single calls"
+            )
 
         def build():
             def f(params, mp, slabs, ids, mask, ref, strength, key, top_p,

@@ -605,7 +605,6 @@ def _ar_resident_kernel(
 
             # ---- anti-loop settings (sampling.anti_loop_settings) --------
             if anti_loop:
-                hist_col = hist_ref[:, 0]  # [HIST_PAD]
                 cyc = jnp.bool_(False)
                 for n_cyc in range(CYCLE_MIN_N, CYCLE_MAX_N + 1):
                     a_sl = hist_ref[HIST_PAD - n_cyc:, :]
@@ -624,9 +623,13 @@ def _ar_resident_kernel(
                 logits, nan=-1e9, posinf=1e9, neginf=-1e9
             ) / temp
 
+            # penalty window is the reference's last-HIST_LEN tokens, NOT
+            # the whole HIST_PAD buffer: rows 0..HIST_PAD-HIST_LEN-1 hold
+            # tokens 51+ steps old once t > HIST_LEN and must not penalize
             member = jnp.any(
-                hist_ref[...] == iota_v, axis=0, keepdims=True
-            )  # [1, V] ([HIST,1] == [1,V] broadcast; -1 never matches)
+                hist_ref[HIST_PAD - HIST_LEN:, :] == iota_v,
+                axis=0, keepdims=True,
+            )  # [1, V] ([HIST_LEN,1] == [1,V] broadcast; -1 never matches)
             pen = 1.1
             xp = jnp.where(
                 member, jnp.where(x < 0.0, x * pen, x / pen), x

@@ -552,7 +552,6 @@ class ContinuousBatcher:
     def stats(self) -> Dict[str, Any]:
         """Aggregate serving metrics (SURVEY.md §5 observability)."""
         live = sum(1 for s in self._slots if s is not None)
-        ttfa = sorted(self._ttfa_ms)
         return {
             "slots": self.B,
             "active_sessions": live,
@@ -561,9 +560,7 @@ class ContinuousBatcher:
             "chunk_frames": self.cf,
             "sessions_done": self.sessions_done,
             "total_audio_s": round(self.total_audio_s, 2),
-            "ttfa_p50_ms": (
-                round(ttfa[len(ttfa) // 2], 1) if ttfa else None
-            ),
+            "ttfa_p50_ms": _p50(self._ttfa_ms),
             "tick_dispatch_ms_p50": _p50(self._dispatch_ms),
             "tick_read_ms_p50": _p50(self._read_ms),
         }

@@ -182,3 +182,29 @@ def test_resident_tokens_live_in_candidate_set(setup):
         )
         hist = Sa.push_history(hist, jnp.asarray([toks[t]]))
         last = toks[t]
+
+
+def test_resident_penalty_window_past_50(setup):
+    """The repetition penalty must cover exactly the last HIST_LEN=50
+    tokens, not the kernel's whole 64-row history buffer: near-greedy
+    decoding past 50 frames stays bit-identical to the XLA path (a
+    64-window would penalize tokens 51-64 steps old and diverge)."""
+    cfg, params, kvs, ctx_res, ctx_step, cond, txt, mask = setup
+    s_long = 88
+    cond_l = (
+        jax.random.normal(jax.random.PRNGKey(11), (1, s_long, cfg.d_model))
+        * 0.1
+    )
+    ng = _near_greedy()
+    c_res = M.ar_generate(
+        params, cfg, cond_l, txt, mask, jax.random.PRNGKey(7), ng, s_long,
+        kv_caches=ctx_res,
+    )
+    c_xla = M.ar_generate(
+        params, cfg, cond_l, txt, mask, jax.random.PRNGKey(7), ng, s_long,
+        kv_caches=kvs,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_res.tokens), np.asarray(c_xla.tokens)
+    )
+    assert int(c_res.t[0]) == int(c_xla.t[0])

@@ -235,7 +235,10 @@ def main() -> None:
     ttfa_ms = statistics.median(ttfas)
 
     # ---- batched serving aggregate (BASELINE config 4) --------------------
-    serve_x = None
+    # Median of 3 trials is the headline (artifact-honest); best rides as a
+    # separate extra because the remote tunnel's bandwidth swings several-x
+    # between runs and the best trial is closer to the framework's own cost.
+    serve_x = serve_best_x = serve_ttfa_ms = None
     if os.environ.get("SOPRO_BENCH_SERVE", "1") != "0":
         import threading
 
@@ -262,13 +265,15 @@ def main() -> None:
                 th.join()
             return sum(done.values()) / (time.perf_counter() - t0)
 
-        # best of 2: the remote tunnel's bandwidth swings several-x between
-        # runs; the better trial is closer to the framework's own cost
-        serve_x = max(serve_trial(t) for t in range(2))
+        trials = [serve_trial(t) for t in range(3)]
+        serve_x = statistics.median(trials)
+        serve_best_x = max(trials)
+        # TTFA under 8-way concurrent load (scheduler-tracked, last 100)
+        serve_ttfa_ms = batcher.stats().get("ttfa_p50_ms")
         batcher.stop()
 
     # ---- batched offline synthesis (config 4, 32 padded utterances) -------
-    batch32_x = None
+    batch32_x = batch32_best_x = None
     if os.environ.get("SOPRO_BENCH_BATCH", "1") != "0":
         texts32 = [
             f"Utterance number {i} spoken by the batched synthesizer."
@@ -276,8 +281,8 @@ def main() -> None:
         ]
         tts.synthesize_batch(texts32, ref=ref, max_frames=150,
                              seeds=list(range(32)), pcm16=True)  # warm
-        batch32_x = 0.0
-        for trial in range(2):  # best of 2 (tunnel bandwidth variance)
+        btrials = []
+        for trial in range(3):
             t0 = time.perf_counter()
             outs = tts.synthesize_batch(
                 texts32, ref=ref, max_frames=150,
@@ -285,7 +290,9 @@ def main() -> None:
                 pcm16=True,
             )
             dt = time.perf_counter() - t0
-            batch32_x = max(batch32_x, sum(w.shape[1] for w in outs) / sr / dt)
+            btrials.append(sum(w.shape[1] for w in outs) / sr / dt)
+        batch32_x = statistics.median(btrials)
+        batch32_best_x = max(btrials)
 
     backend = jax.devices()[0].platform
     base_rtf, base_ttfa = 0.05, 250.0
@@ -305,8 +312,15 @@ def main() -> None:
             "serve8_aggregate_x_realtime": (
                 round(serve_x, 1) if serve_x else None
             ),
+            "serve8_aggregate_best_x": (
+                round(serve_best_x, 1) if serve_best_x else None
+            ),
+            "serve8_ttfa_p50_ms": serve_ttfa_ms,
             "batch32_aggregate_x_realtime": (
                 round(batch32_x, 1) if batch32_x else None
+            ),
+            "batch32_aggregate_best_x": (
+                round(batch32_best_x, 1) if batch32_best_x else None
             ),
             "onchip_synth_ms": (
                 round(onchip_ms, 1) if onchip_ms is not None else None

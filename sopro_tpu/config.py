@@ -169,10 +169,8 @@ class RuntimeConfig:
     # measured 18.5 vs 70 us/step on v5e (7.4 ms for a 401-step decode).
     # None (default) = auto: ON for TPU when the single-stream
     # full-generate path qualifies (B == 1, text bucket <= 512), OFF
-    # elsewhere. Sampling uses an in-kernel counter-based RNG, so token
-    # streams differ from the XLA path for the same seed (both are correct
-    # samples; near-greedy decoding matches the XLA path bit-for-bit up to
-    # genuine logit near-ties).
+    # elsewhere. Independent of use_pallas_ar: resident full-generate calls
+    # take the whole-loop kernel even when the per-step kernel is off.
     use_pallas_resident: "bool | None" = None
     # Fused Pallas SEANet vocoder: the whole decoder conv stack (k7 conv,
     # 4 polyphase-transpose upsample stages + residual blocks, final k3)

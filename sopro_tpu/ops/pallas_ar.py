@@ -478,7 +478,7 @@ def _ar_resident_kernel(
     kv_mask_ref, out_norm_ref, head_w_ref, head_b_ref,
     # outputs
     tokens_ref,  # [S, 1] i32
-    info_ref,  # [1, 2] i32: (first_eos, t_final)
+    info_ref,  # [1, 3] i32: (first_eos, t_final, stopped)
     # scratch
     bufs_ref,  # [N, CTX, D]
     hist_ref,  # [HIST_PAD, 1] i32, newest at HIST_PAD-1
@@ -671,7 +671,14 @@ def _ar_resident_kernel(
                 )
 
             _, c = lax.fori_loop(0, 26, bis_p, (jnp.float32(0.0), jnp.float32(1.0)))
-            keep2 = keep1 & (p >= c)
+            # force-include the penalized argmax: the bisection threshold can
+            # land one float32 ULP above p_max when p_max < 2^-3 (the [0,1]
+            # bisection's resolution is coarser than ULP there), which would
+            # empty the kept set and silently bypass the repetition penalty
+            # via the argmax fallback. The reference's sorted-cumsum rule
+            # keeps the first nucleus entry unconditionally
+            # (src/sopro/sampling.py:70-76); mirror that.
+            keep2 = keep1 & ((p >= c) | (xp == m))
             mass2 = jnp.sum(jnp.where(keep2, p, 0.0))
             degenerate = degenerate | (mass2 <= 1e-12)
 
@@ -709,7 +716,8 @@ def _ar_resident_kernel(
 
     lax.fori_loop(0, max_steps, step, 0)
     info_ref[...] = jnp.concatenate(
-        [st_ref[3].reshape(1, 1), st_ref[4].reshape(1, 1)], axis=1
+        [st_ref[3].reshape(1, 1), st_ref[4].reshape(1, 1),
+         st_ref[2].reshape(1, 1)], axis=1
     )
 
 
@@ -728,8 +736,9 @@ def ar_generate_pallas_resident(
     loop_streak: int = 8,
     *,
     interpret: bool | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Whole AR decode in one kernel -> (tokens [1, S], first_eos [1], t [1])."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Whole AR decode in one kernel ->
+    (tokens [1, S], first_eos [1], t [1], stopped [1] bool)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     stacked = ctx.stacked
@@ -762,7 +771,7 @@ def ar_generate_pallas_resident(
         out_specs=[full(), full()],
         out_shape=[
             jax.ShapeDtypeStruct((s, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((1, 3), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM(
@@ -786,4 +795,4 @@ def ar_generate_pallas_resident(
         ctx.mask.astype(jnp.int32), stacked["out_norm"],
         stacked["head_w"], stacked["head_b"],
     )
-    return tokens[:, 0][None], info[:, 0], info[:, 1]
+    return tokens[:, 0][None], info[:, 0], info[:, 1], info[:, 2] != 0

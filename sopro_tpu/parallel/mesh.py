@@ -53,7 +53,9 @@ def make_mesh(
     return Mesh(np.asarray(devices).reshape(dp, tp), ("dp", "tp"))
 
 
-# Rules matched against "/"-joined pytree paths; first match wins.
+# Rules matched against "/"-joined pytree paths; the FIRST matching rule
+# whose axes divide the leaf's dimensions wins (a non-dividing rule falls
+# through, so a pattern may appear twice with a fallback layout).
 # Axis meanings follow the sopro_tpu layouts: linear w [in, out],
 # dwconv w [k, 1, D], embeddings [rows, D].
 _RULES: Tuple[Tuple[str, P], ...] = (
@@ -63,14 +65,19 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     (r".*/ff2/w$", P("tp", None)),
     (r".*/glu/pro/w$", P(None, "tp")),
     (r".*/glu/pro/b$", P("tp")),
-    # AR head: shard the vocab axis
+    # AR head: shard the vocab axis; the flagship vocab is odd
+    # (codebook_size+1 EOS = 2049), so fall back to the input (d_model) axis
     (r".*ar/head/w$", P(None, "tp")),
+    (r".*ar/head/w$", P("tp", None)),
     (r".*ar/head/b$", P("tp")),
     # NAR per-codebook heads: shard the codebook-vocab axis
     (r".*heads/./\d+/w$", P(None, "tp")),
     (r".*heads/./\d+/b$", P("tp")),
-    # big embedding tables: shard rows (vocab)
+    # big embedding tables: shard rows (vocab); the fused codebook table has
+    # odd rows at flagship size (Q*V+1 BOS = 65537), so fall back to the
+    # d_model axis rather than silently replicating ~100 MB
     (r".*(cb_embed|text_enc/embed|token2sv/emb)/emb$", P("tp", None)),
+    (r".*(cb_embed|text_enc/embed|token2sv/emb)/emb$", P(None, "tp")),
     # Mimi transformer MLPs
     (r".*/fc1/w$", P(None, "tp")),
     (r".*/fc2/w$", P("tp", None)),

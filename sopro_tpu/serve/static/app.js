@@ -21,13 +21,26 @@ $("refFile").addEventListener("change", (e) => {
 // Mic recordings are decoded client-side and re-encoded as 16-bit WAV before
 // upload (the server's stdlib loader reads WAV; raw MediaRecorder webm/ogg
 // would need libsndfile server-side — reference does the same,
-// demo/static/app.js:946-966).
+// demo/static/app.js:946-966). The button toggles: record until the user
+// stops (reference behavior), with a 30 s safety cap so an abandoned tab
+// does not record forever.
+let activeRec = null;
 $("recBtn").addEventListener("click", async () => {
+  if (activeRec) { activeRec.stop(); return; }
   const stream = await navigator.mediaDevices.getUserMedia({ audio: true });
   const rec = new MediaRecorder(stream);
   const parts = [];
+  const t0 = performance.now();
+  const timer = setInterval(() => {
+    $("refStatus").textContent =
+      `recording… ${((performance.now() - t0) / 1000).toFixed(1)}s (click to stop)`;
+  }, 200);
   rec.ondataavailable = (e) => parts.push(e.data);
   rec.onstop = async () => {
+    clearInterval(timer);
+    clearTimeout(cap);
+    activeRec = null;
+    $("recBtn").textContent = "record mic";
     stream.getTracks().forEach((t) => t.stop());
     try {
       const raw = new Blob(parts, { type: rec.mimeType });
@@ -45,9 +58,11 @@ $("recBtn").addEventListener("click", async () => {
       $("refStatus").textContent = `decode failed: ${e}`;
     }
   };
+  const cap = setTimeout(() => rec.state !== "inactive" && rec.stop(), 30000);
   rec.start();
-  $("refStatus").textContent = "recording…";
-  setTimeout(() => rec.stop(), 6000);
+  activeRec = rec;
+  $("recBtn").textContent = "stop recording";
+  $("refStatus").textContent = "recording… (click to stop)";
 });
 
 // mono float32 [-1,1] -> 16-bit PCM WAV bytes

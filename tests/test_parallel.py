@@ -162,3 +162,46 @@ def test_param_sharding_rules():
     # odd-sized leaves fall back to replication rather than erroring
     s_gate = shardings["ref_xattn"][0]["gate"]
     assert s_gate.spec == jax.sharding.PartitionSpec()
+
+
+def test_param_sharding_partitions_flagship_shapes():
+    """At the FLAGSHIP config (d_model=384, 4x FFN=1536, 2049-vocab head)
+    the tp rules must actually partition the wide matmuls — the toy shapes
+    used elsewhere could mask a divisibility fallback silently replicating
+    production weights (parallel/mesh.py guard)."""
+    cfg = SoproTTSConfig()
+    params = init_sopro_model(jax.random.PRNGKey(0), cfg, text_vocab_size=2048)
+    mesh = make_mesh(8, dp=4, tp=2)
+    shardings = param_shardings(mesh, params)
+
+    def shard_frac(path, leaf):
+        s = shardings
+        for k in path:
+            s = s[k]
+        placed = jax.device_put(leaf, s)
+        local = placed.addressable_shards[0].data.shape
+        return np.prod(local) / np.prod(leaf.shape), s.spec
+
+    # the wide FFN / GLU matmuls partition their hidden axis 2-way
+    for path in (
+        ("ar", "blocks", 0, "ff1", "w"),      # [384, 1536]
+        ("ar", "blocks", 0, "glu", "pro", "w"),  # [384, 768]
+        ("nar", "blocks", 0, "ff1", "w"),
+    ):
+        leaf = params
+        for k in path:
+            leaf = leaf[k]
+        frac, spec = shard_frac(path, leaf)
+        assert frac == 0.5, (path, spec, leaf.shape, frac)
+    # the big fused codebook embedding ([65537, 384] — odd rows) falls back
+    # to sharding its d_model axis instead of replicating ~100 MB
+    frac, spec = shard_frac(
+        ("cb_embed", "emb"), params["cb_embed"]["emb"]
+    )
+    assert frac == 0.5, (spec, params["cb_embed"]["emb"].shape)
+    # the 2049-vocab AR head is odd on its vocab axis: the fallback rule
+    # shards the d_model input axis instead
+    frac, spec = shard_frac(("ar", "head", "w"), params["ar"]["head"]["w"])
+    assert frac == 0.5 and spec == jax.sharding.PartitionSpec("tp", None), (
+        spec, params["ar"]["head"]["w"].shape,
+    )

@@ -184,45 +184,101 @@ class Engine:
                   jnp.float32(style_strength))
 
 
-    def _ar_kv(self, params, txt_seq, text_mask, resident: bool = False):
+    def resident_vmem_bytes(
+        self, batch: int, text_bucket: int, max_steps: int = 401
+    ) -> int:
+        """Estimated VMEM working set of the whole-loop resident kernel:
+        stacked weight slabs + padded text KV + cond + state. Used as the
+        eligibility gate instead of a hard text-bucket cap (a 1024-token
+        prompt at B=1 fits comfortably; B=8 serving at bucket 256 does
+        too)."""
+        from sopro_tpu.ops.pallas_ar import HEAD_PAD, TEXT_HEADS
+
+        cfg = self.cfg
+        d, n = int(cfg.d_model), int(cfg.n_layers_ar)
+        v = int(cfg.ar_vocab)
+        ctx = (int(cfg.ar_kernel) - 1) * max(cfg.ar_dilations()) + 1
+        n_attn = sum(
+            1 for i in range(n) if (i + 1) % int(cfg.ar_text_attn_freq) == 0
+        )
+        wb = 2 if self.dtype == jnp.bfloat16 else 4
+        weights = (
+            n * (10 * d * d + ctx * d + 12 * d)
+            + n_attn * (2 * d * TEXT_HEADS * HEAD_PAD + d + 1)
+            + d * v + v + d
+        ) * wb
+        kv = 2 * n_attn * batch * TEXT_HEADS * text_bucket * HEAD_PAD * wb
+        cond = batch * max_steps * d * wb
+        emb = (v + 1) * d * wb
+        bufs = n * batch * ctx * d * wb
+        state = batch * v * 4 * 8  # cnt + sampler [B, V] f32 temporaries
+        return weights + kv + cond + emb + bufs + state
+
+    RESIDENT_VMEM_BUDGET = 90 * 1024 * 1024  # vs the 110 MB compiler limit
+
+    def _ar_kv(
+        self, params, txt_seq, text_mask, resident: bool = False,
+        max_steps: int = 401,
+    ):
         """Text KV in the form the AR step implementation expects: a
-        PallasResidentContext (whole-loop kernel; only for full-generate
-        call sites that pass resident=True), a PallasARContext (per-step
-        fused kernel), or per-layer dict caches (XLA).
+        ResidentLoopContext (whole-loop/chunk resident kernel, for call
+        sites that pass resident=True), a PallasARContext (per-step fused
+        kernel), or per-layer dict caches (XLA).
 
         The fused kernels win at small batch (latency-bound); at larger
-        batch the per-block KV/state slabs outgrow the ~16 MB VMEM budget
-        and the XLA step is compute-bound anyway, so batched paths stay on
-        XLA. The resident kernel additionally needs the whole weight set in
-        VMEM for the loop's lifetime, which caps the text bucket at 512
-        (verified on v5e: same 18.5 us/step as bucket 64)."""
+        batch the XLA step is compute-bound anyway, so big batches stay on
+        XLA. The resident kernel needs the whole weight set + text KV + cond
+        in VMEM for the call's lifetime — eligibility is a VMEM budget
+        estimate (resident_vmem_bytes), not a fixed text cap: B=1 fits up
+        to the 2048-token bucket, B=8 serving fits at bucket 256. The two
+        toggles are independent: use_pallas_resident selects the whole-loop
+        kernel for eligible calls even with use_pallas_ar=False."""
         kvs = G.build_text_kv_caches(params["ar"], self.cfg, txt_seq, text_mask)
-        if not self.use_pallas_ar or int(txt_seq.shape[0]) > 2:
+        b, l = int(txt_seq.shape[0]), int(txt_seq.shape[1])
+        resident_ok = (
+            resident
+            and self.use_pallas_resident
+            and b <= 8
+            and self.resident_vmem_bytes(b, l, max_steps)
+            <= self.RESIDENT_VMEM_BUDGET
+        )
+        per_step_ok = self.use_pallas_ar and b <= 2
+        if not (resident_ok or per_step_ok):
             return kvs
         from sopro_tpu.ops.pallas_ar import (
-            PallasARContext, PallasResidentContext, stack_ar_params,
+            PallasARContext, stack_ar_params,
         )
 
         kv_k = jnp.stack([kv["k"] for kv in kvs if kv is not None])
         kv_v = jnp.stack([kv["v"] for kv in kvs if kv is not None])
-        if (
-            resident
-            and self.use_pallas_resident
-            and int(txt_seq.shape[0]) == 1
-            and int(txt_seq.shape[1]) <= 512
-        ):
-            emb = params["cb_embed"]["emb"]
-            bos = int(self.cfg.num_codebooks) * int(self.cfg.codebook_size)
-            emb_c = jnp.concatenate(
-                [emb[: self.cfg.ar_vocab], emb[bos: bos + 1]], axis=0
-            )
-            return PallasResidentContext(
-                stacked=stack_ar_params(params["ar"], self.cfg),
-                kv_k=kv_k, kv_v=kv_v, mask=text_mask, emb=emb_c,
-            )
+        if resident_ok:
+            return self._resident_ctx(params, kv_k, kv_v, text_mask)
         return PallasARContext(
             stacked=stack_ar_params(params["ar"], self.cfg),
             kv_k=kv_k, kv_v=kv_v, mask=text_mask,
+        )
+
+    def _resident_ctx(self, params, kv_k, kv_v, text_mask):
+        """Build a ResidentLoopContext from stacked per-attn KV
+        ([A, B, H, L, hd]) + mask."""
+        from sopro_tpu.ops.pallas_ar import (
+            HEAD_PAD, pad_kv_heads, stack_ar_params,
+        )
+        from sopro_tpu.ops.pallas_ar_loop import ResidentLoopContext
+
+        a, b, h, l, hd = kv_k.shape
+        if hd != HEAD_PAD:
+            kv_k, kv_v = pad_kv_heads(kv_k), pad_kv_heads(kv_v)
+        emb = params["cb_embed"]["emb"]
+        bos = int(self.cfg.num_codebooks) * int(self.cfg.codebook_size)
+        emb_c = jnp.concatenate(
+            [emb[: self.cfg.ar_vocab], emb[bos: bos + 1]], axis=0
+        )
+        return ResidentLoopContext(
+            stacked=stack_ar_params(params["ar"], self.cfg),
+            kv_k=kv_k.reshape(a, b * h, l, HEAD_PAD),
+            kv_v=kv_v.reshape(a, b * h, l, HEAD_PAD),
+            mask=text_mask, emb=emb_c,
         )
 
     # -- AR decode ---------------------------------------------------------
@@ -484,7 +540,7 @@ class Engine:
             # the generated length rides in the int16 waveform buffer
             raise ValueError(
                 f"max_frames={max_frames} exceeds the pcm16 packing bound "
-                "(32766); use pcm16=False for ultra-long single calls"
+                "(32767); use pcm16=False for ultra-long single calls"
             )
 
         def build():
@@ -683,7 +739,13 @@ class Engine:
                     params, self.cfg, ids, mask, ref,
                     max_frames=max_frames, style_strength=strength,
                 )
-                kv = self._ar_kv(params, prep["txt_seq"], mask)
+                # resident=True: the streaming steady state decodes each
+                # chunk inside ONE whole-chunk VMEM-resident pallas_call
+                # (the context pytree threads through stream_step_fused)
+                kv = self._ar_kv(
+                    params, prep["txt_seq"], mask, resident=True,
+                    max_steps=max_frames + 1,
+                )
                 settings = M.ARSettings(
                     top_p=top_p, temperature=temp,
                     recovery_top_p=jnp.float32(0.85),

@@ -238,13 +238,69 @@ def ar_row_active(carry: ARCarry, max_steps: int) -> jnp.ndarray:
 
 
 def maybe_pack_carry(carry: ARCarry, kv_caches) -> ARCarry:
-    """Pack the per-block conv buffers into the fused kernel's single padded
-    buffer when running with a PallasARContext."""
+    """Pack the per-block conv buffers into the fused kernels' single padded
+    buffer when running with a Pallas context."""
     from sopro_tpu.ops.pallas_ar import PallasARContext, pack_conv_state
+    from sopro_tpu.ops.pallas_ar_loop import ResidentLoopContext
 
-    if isinstance(kv_caches, PallasARContext) and len(carry.conv_state) > 1:
+    if (
+        isinstance(kv_caches, (PallasARContext, ResidentLoopContext))
+        and len(carry.conv_state) > 1
+    ):
         return carry._replace(conv_state=[pack_conv_state(carry.conv_state)])
     return carry
+
+
+def ar_resident_chunk(
+    cfg: SoproTTSConfig,
+    carry: ARCarry,
+    cond_ar: jnp.ndarray,
+    ctx,
+    settings: ARSettings,
+    n_steps: int,
+) -> ARCarry:
+    """Advance B rows by `n_steps` steps inside ONE whole-chunk resident
+    Pallas call (state in / state out). Drop-in for ar_generate_chunk's XLA
+    scan; also the full-generate body when n_steps = max_steps (the kernel
+    predicates off once every row has stopped). Requires a packed conv
+    carry (maybe_pack_carry) and a ResidentLoopContext."""
+    from sopro_tpu.ops.pallas_ar_loop import ar_loop_pallas
+
+    b, s_tok = carry.tokens.shape
+    s_cond = int(cond_ar.shape[1])
+    assert s_cond == s_tok, (s_cond, s_tok)
+    state = {
+        "t": carry.t, "last": carry.last, "streak": carry.streak,
+        "stopped": carry.stopped.astype(jnp.int32),
+        "first_eos": carry.first_eos, "key": carry.key,
+        "hist": carry.hist, "bufs": carry.conv_state[0],
+    }
+    sett = {
+        "top_p": settings.top_p, "temperature": settings.temperature,
+        "recovery_top_p": settings.recovery_top_p,
+        "recovery_temp": settings.recovery_temp,
+        "min_gen": settings.min_gen_frames,
+    }
+    tok_chunk, ns = ar_loop_pallas(
+        ctx, cfg, cond_ar.reshape(b * s_cond, cond_ar.shape[-1]), state,
+        sett, int(n_steps), s_cond, bool(settings.anti_loop),
+    )
+    # merge the chunk's tokens into the absolute buffer at [t0, t_new) per
+    # row (gather-select: a dynamic_update_slice would clamp near the end
+    # of the buffer and overwrite real tokens with padding)
+    t0, t_new = carry.t, ns["t"]
+    pos = jnp.arange(s_tok)[None, :]
+    rel = pos - t0[:, None]
+    in_chunk = (rel >= 0) & (rel < int(n_steps)) & (pos < t_new[:, None])
+    gath = jnp.take_along_axis(
+        tok_chunk, jnp.clip(rel, 0, int(n_steps) - 1), axis=1
+    )
+    tokens = jnp.where(in_chunk, gath, carry.tokens)
+    return ARCarry(
+        t=ns["t"], conv_state=[ns["bufs"]], hist=ns["hist"],
+        streak=ns["streak"], last=ns["last"], key=ns["key"], tokens=tokens,
+        first_eos=ns["first_eos"], stopped=ns["stopped"] != 0,
+    )
 
 
 def ar_single_step(
@@ -295,8 +351,10 @@ def ar_single_step(
             p["ar"], cfg, x_t, carry.conv_state, kv_caches
         )
 
-    splits = jax.vmap(jax.random.split)(carry.key)  # [B, 2, 2]
-    key, sub = splits[:, 0], splits[:, 1]
+    # explicit threefry key chain — bit-identical to the in-kernel chain, so
+    # every decode path draws the same tokens at the same seed (the
+    # reference's single-sampler contract, src/sopro/sampling.py:24-93)
+    key, sub = S.split_keys(carry.key)  # [B, 2] each
     tok = S.sample_token(
         sub, logits, carry.hist, t,
         S.SamplerSettings(top_p=top_p, temperature=temp),
@@ -357,31 +415,18 @@ def ar_generate(
     if kv_caches is None:
         kv_caches = G.build_text_kv_caches(p["ar"], cfg, txt_seq, text_mask)
 
-    from sopro_tpu.ops.pallas_ar import (
-        PallasResidentContext, ar_generate_pallas_resident,
-    )
-
-    if isinstance(kv_caches, PallasResidentContext):
-        # whole-loop kernel: every step (block stack + sampler + anti-loop
-        # bookkeeping) runs inside ONE pallas_call with VMEM-resident
-        # weights; only tokens/first_eos/t come back (the downstream
-        # full-generate consumers use exactly those)
-        seed = jax.random.bits(key, dtype=jnp.uint32).astype(jnp.int32)
-        tokens, first_eos, t_fin = ar_generate_pallas_resident(
-            kv_caches, cfg, cond_ar, seed,
-            settings.top_p, settings.temperature,
-            settings.recovery_top_p, settings.recovery_temp,
-            settings.min_gen_frames, max_steps,
-            anti_loop=settings.anti_loop, loop_streak=settings.loop_streak,
-        )
-        carry = init_ar_carry(cfg, 1, max_steps, key, cond_ar.dtype)
-        return carry._replace(
-            tokens=tokens, first_eos=first_eos, t=t_fin,
-            stopped=first_eos < max_steps,
-        )
+    from sopro_tpu.ops.pallas_ar_loop import ResidentLoopContext
 
     carry = init_ar_carry(cfg, cond_ar.shape[0], max_steps, key, cond_ar.dtype)
     carry = maybe_pack_carry(carry, kv_caches)
+
+    if isinstance(kv_caches, ResidentLoopContext):
+        # whole-loop kernel: every step (block stack + threefry sampler +
+        # anti-loop bookkeeping) runs inside ONE pallas_call with
+        # VMEM-resident weights, predicating off once every row has stopped
+        return ar_resident_chunk(
+            cfg, carry, cond_ar, kv_caches, settings, max_steps
+        )
 
     def cond_fn(c: ARCarry):
         return jnp.any(ar_row_active(c, max_steps))
@@ -403,7 +448,13 @@ def ar_generate_chunk(
 ) -> ARCarry:
     """Advance the AR decode by a fixed chunk of steps (streaming driver /
     serving tick). Rows past EOS-stop or max_steps are no-ops (per-row
-    masking inside ar_single_step)."""
+    masking inside ar_single_step / the resident chunk kernel)."""
+    from sopro_tpu.ops.pallas_ar_loop import ResidentLoopContext
+
+    if isinstance(kv_caches, ResidentLoopContext):
+        return ar_resident_chunk(
+            cfg, carry, cond_ar, kv_caches, settings, n_steps
+        )
 
     def body_fn(c: ARCarry, _):
         return ar_single_step(p, cfg, c, cond_ar, kv_caches, settings), None

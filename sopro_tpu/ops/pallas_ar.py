@@ -401,398 +401,9 @@ def ar_step_pallas(
     return logits, bufs_out
 
 
-# ==========================================================================
-# whole-loop resident AR decode: all max_frames+1 steps in ONE pallas_call
-# ==========================================================================
-#
-# The per-step paths (XLA while_loop body OR the per-step kernel above) cost
-# ~70 us/step on v5e at batch 1, split ~43 us kernel-launch/slab-streaming
-# and ~33 us XLA sampling glue — both fixed overheads, not compute. Here the
-# ENTIRE decode loop runs inside one kernel: every weight slab is resident
-# in VMEM across all steps (~24 MB bf16 at text bucket 256 — past XLA's
-# 16 MB default scoped-VMEM limit, so the kernel raises vmem_limit_bytes;
-# v5e's physical VMEM accepts it), the sampler (temperature, CTRL
-# repetition penalty,
-# top-k + nucleus via threshold bisection, Gumbel-max draw, degenerate-mass
-# argmax fallback) runs on the VPU, and the anti-loop machinery (cycle
-# detect, streak recovery, min_gen-gated EOS — reference:
-# src/sopro/model.py:218-305, src/sopro/sampling.py:16-93) updates scalar
-# state in SMEM. Once every row has stopped the remaining iterations are
-# predicated off.
-#
-# RNG: an in-kernel counter-based generator (murmur3-style finalizer over
-# (seed, step, lane)) replaces jax.random — identical in interpret and
-# Mosaic modes, but a different stream than the XLA path's threefry, so
-# sampled tokens differ run-path-to-run-path at the same seed. Near-greedy
-# decoding (temperature -> 0) is RNG-free and matches the per-step kernel
-# exactly (tests/test_pallas_resident.py; real-Mosaic: tests/test_tpu.py).
 
-
+# The whole-loop resident decode now lives in ops/pallas_ar_loop.py
+# (batch-generic, chunk-capable, state-in/state-out, shared threefry
+# sampler). HIST_PAD stays here as the packed rolling-history height used
+# by both kernels' layouts.
 HIST_PAD = 64  # >= sampling.HIST_LEN (50), whole sublanes
-
-
-class PallasResidentContext(NamedTuple):
-    """Context for the whole-loop kernel: stacked slabs + text KV + the
-    compact prev-token embedding table ([V+1, D]: rows 0..V-1 = codebook-1
-    token embeddings, row V = BOS)."""
-
-    stacked: Any
-    kv_k: jnp.ndarray  # [A, B*H, L, HEAD_PAD]
-    kv_v: jnp.ndarray
-    mask: jnp.ndarray  # [B, L]
-    emb: jnp.ndarray  # [V+1, D]
-
-
-def _uniform_bits(seed: jnp.ndarray, step: jnp.ndarray, shape) -> jnp.ndarray:
-    """Counter-based uniform(0,1) floats: murmur3 fmix32 over
-    (lane, step, seed). Statistically ample for choosing among <= 50
-    sampler candidates, and bit-identical across interpret/Mosaic."""
-    lane = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
-    h = lane * jnp.uint32(0x9E3779B1)
-    h = h ^ (step.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
-    h = h ^ (seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35))
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x85EBCA6B)
-    h = h ^ (h >> 13)
-    h = h * jnp.uint32(0xC2B2AE35)
-    h = h ^ (h >> 16)
-    # 24 high bits -> (0, 1): never exactly 0, so log(u) is finite.
-    # (route uint32 -> int32 -> f32: Mosaic has no direct uint32 cast, and
-    # the 24-bit value is sign-safe in int32)
-    h24 = (h >> 8).astype(jnp.int32)
-    return h24.astype(jnp.float32) * jnp.float32(2.0 ** -24) + jnp.float32(
-        2.0 ** -25
-    )
-
-
-def _ar_resident_kernel(
-    cfg: SoproTTSConfig,
-    kv_len: int,
-    max_steps: int,
-    anti_loop: bool,
-    # inputs
-    scal_f_ref, scal_i_ref, cond_ref, emb_ref,
-    norm_ref, glu_w_ref, glu_b_ref, dw_w_ref, dw_b_ref,
-    ff_norm_ref, ff1_w_ref, ff1_b_ref, ff2_w_ref, ff2_b_ref,
-    x_nq_ref, x_q_ref, x_out_ref, x_gate_ref, kv_k_ref, kv_v_ref,
-    kv_mask_ref, out_norm_ref, head_w_ref, head_b_ref,
-    # outputs
-    tokens_ref,  # [S, 1] i32
-    info_ref,  # [1, 3] i32: (first_eos, t_final, stopped)
-    # scratch
-    bufs_ref,  # [N, CTX, D]
-    hist_ref,  # [HIST_PAD, 1] i32, newest at HIST_PAD-1
-    st_ref,  # SMEM (8,) i32: last, streak, stopped, first_eos, t_final
-):
-    n_layers = int(cfg.n_layers_ar)
-    freq = int(cfg.ar_text_attn_freq)
-    d = int(cfg.d_model)
-    v = int(cfg.ar_vocab)
-    eos = int(cfg.eos_id)
-    eps = 1e-6
-    from sopro_tpu.sampling import CYCLE_MAX_N, CYCLE_MIN_N, HIST_LEN
-
-    top_p0 = scal_f_ref[0, 0]
-    temp0 = scal_f_ref[0, 1]
-    rec_top_p = scal_f_ref[0, 2]
-    rec_temp = scal_f_ref[0, 3]
-    seed = scal_i_ref[0, 0]
-    min_gen = scal_i_ref[0, 1]
-    loop_streak = scal_i_ref[0, 2]
-
-    bufs_ref[...] = jnp.zeros_like(bufs_ref)
-    hist_ref[...] = jnp.full_like(hist_ref, -1)
-    tokens_ref[...] = jnp.zeros_like(tokens_ref)
-    st_ref[0] = 0  # last
-    st_ref[1] = 0  # streak
-    st_ref[2] = 0  # stopped
-    st_ref[3] = max_steps  # first_eos
-    st_ref[4] = 0  # t_final
-
-    def rmsnorm(h, scale):
-        var = jnp.mean(h * h, axis=-1, keepdims=True)
-        return h * lax.rsqrt(var + eps) * scale.astype(jnp.float32)
-
-    def vec(ref, i=None):
-        x = ref[...] if i is None else ref[i]
-        return x.reshape(1, -1)
-
-    def mm(a, w, bias=None):
-        y = jnp.dot(a.astype(w.dtype), w, preferred_element_type=jnp.float32)
-        if bias is not None:
-            y = y + bias.astype(jnp.float32)
-        return y
-
-    iota_v = jax.lax.broadcasted_iota(jnp.int32, (1, v), 1)
-
-    def step(t, _):
-        @pl.when(st_ref[2] == 0)
-        def _active():
-            # ---- previous-token embedding (BOS row = v at t == 0) --------
-            # Dynamic sublane indexing needs 8-aligned offsets on TPU, so
-            # arbitrary-row reads are expressed as one-hot matmuls (the
-            # tables are tiny; the MXU does these in noise).
-            prev_row = jnp.where(t == 0, v, st_ref[0])
-            n_emb = emb_ref.shape[0]
-            oh_e = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, n_emb), 1) == prev_row
-            ).astype(emb_ref.dtype)
-            prev_emb = jnp.dot(
-                oh_e, emb_ref[...], preferred_element_type=jnp.float32
-            )  # [1, D]
-            oh_c = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, max_steps), 1) == t
-            ).astype(cond_ref.dtype)
-            cond_t = jnp.dot(
-                oh_c, cond_ref[...], preferred_element_type=jnp.float32
-            )
-            # add in the carry dtype first: the per-step path forms
-            # x_t = cond_t + prev_emb in bf16 before the kernel's f32 cast,
-            # and matching the association keeps near-greedy bit-parity
-            x_t = (
-                cond_t.astype(cond_ref.dtype) + prev_emb.astype(cond_ref.dtype)
-            ).astype(jnp.float32)
-
-            # ---- block stack (same math as _ar_step_kernel) --------------
-            h = x_t
-            for li in range(n_layers):
-                hn = rmsnorm(h, vec(norm_ref, li))
-                ab = mm(hn, glu_w_ref[li], vec(glu_b_ref, li))
-                g = ab[:, :d] * jax.nn.sigmoid(ab[:, d:])
-
-                buf = bufs_ref[li]  # [CTX, D]
-                shifted = jnp.concatenate(
-                    [buf[1:, :], g.astype(buf.dtype)], axis=0
-                )
-                bufs_ref[li] = shifted
-                w_dw = dw_w_ref[li].astype(jnp.float32)
-                y = jnp.sum(shifted.astype(jnp.float32) * w_dw, axis=0,
-                            keepdims=True)
-                y = y + vec(dw_b_ref, li).astype(jnp.float32)
-                h = h + y  # same float association as _ar_step_kernel
-
-                hn = rmsnorm(h, vec(ff_norm_ref, li))
-                f = mm(hn, ff1_w_ref[li], vec(ff1_b_ref, li))
-                f = 0.5 * f * (1.0 + _erf_poly(f * (1.0 / math.sqrt(2.0))))
-                h = h + mm(f, ff2_w_ref[li], vec(ff2_b_ref, li))
-
-                if (li + 1) % freq == 0:
-                    ai = min(li // freq, x_q_ref.shape[0] - 1)
-                    qn = rmsnorm(h, vec(x_nq_ref, ai))
-                    q = mm(qn, x_q_ref[ai])  # [1, H*HP]
-                    qh = q.reshape(TEXT_HEADS, HEAD_PAD)
-                    kk = kv_k_ref[ai].astype(jnp.float32)  # [H, L, HP]
-                    vv = kv_v_ref[ai].astype(jnp.float32)
-                    scale = 1.0 / math.sqrt(d // TEXT_HEADS)
-                    logits = jnp.sum(qh[:, None, :] * kk, axis=-1) * scale
-                    keep = kv_mask_ref[...] != 0  # [1, L]
-                    none_valid = ~jnp.any(keep)
-                    first = (
-                        jax.lax.broadcasted_iota(jnp.int32, (1, kv_len), 1)
-                        == 0
-                    )
-                    keep = keep | (none_valid & first)
-                    logits = jnp.where(keep, logits, -jnp.inf)
-                    w = jax.nn.softmax(logits, axis=-1)
-                    a = jnp.sum(w[..., None] * vv, axis=1)  # [H, HP]
-                    a = jnp.nan_to_num(a, nan=0.0, posinf=0.0, neginf=0.0)
-                    a = mm(a.reshape(1, TEXT_HEADS * HEAD_PAD), x_out_ref[ai])
-                    gate = jnp.tanh(vec(x_gate_ref, ai).astype(jnp.float32))
-                    h = h + gate * a
-
-            ho = rmsnorm(h, vec(out_norm_ref))
-            logits = mm(ho, head_w_ref[...], vec(head_b_ref))  # [1, V] f32
-
-            # ---- anti-loop settings (sampling.anti_loop_settings) --------
-            if anti_loop:
-                cyc = jnp.bool_(False)
-                for n_cyc in range(CYCLE_MIN_N, CYCLE_MAX_N + 1):
-                    a_sl = hist_ref[HIST_PAD - n_cyc:, :]
-                    b_sl = hist_ref[HIST_PAD - 2 * n_cyc: HIST_PAD - n_cyc, :]
-                    eq = jnp.all(a_sl == b_sl)
-                    cyc = cyc | (eq & (t >= 2 * n_cyc))
-                stuck = (t > 0) & (st_ref[1] >= loop_streak)
-                rec = cyc | stuck
-                top_p = jnp.where(rec, rec_top_p, top_p0)
-                temp = jnp.where(rec, rec_temp, temp0)
-            else:
-                top_p, temp = top_p0, temp0
-
-            # ---- sampler (sampling.sample_token, full-vocab form) --------
-            x = jnp.nan_to_num(
-                logits, nan=-1e9, posinf=1e9, neginf=-1e9
-            ) / temp
-
-            # penalty window is the reference's last-HIST_LEN tokens, NOT
-            # the whole HIST_PAD buffer: rows 0..HIST_PAD-HIST_LEN-1 hold
-            # tokens 51+ steps old once t > HIST_LEN and must not penalize
-            member = jnp.any(
-                hist_ref[HIST_PAD - HIST_LEN:, :] == iota_v,
-                axis=0, keepdims=True,
-            )  # [1, V] ([HIST_LEN,1] == [1,V] broadcast; -1 never matches)
-            pen = 1.1
-            xp = jnp.where(
-                member, jnp.where(x < 0.0, x * pen, x / pen), x
-            )
-
-            # top-k by threshold bisection: smallest thr with
-            # count(xp >= thr) <= k keeps the k largest (ties at the
-            # boundary wobble by float resolution — measure-zero for real
-            # logits)
-            k = 50
-
-            def bis_k(_, lohi):
-                lo, hi = lohi
-                mid = 0.5 * (lo + hi)
-                cnt = jnp.sum((xp >= mid).astype(jnp.int32))
-                return jnp.where(cnt > k, mid, lo), jnp.where(cnt > k, hi, mid)
-
-            lo0 = jnp.min(xp) - 1.0
-            hi0 = jnp.max(xp)
-            _, thr = lax.fori_loop(0, 26, bis_k, (lo0, hi0))
-            keep1 = xp >= thr
-
-            m = jnp.max(jnp.where(keep1, xp, -jnp.inf))
-            e = jnp.where(keep1, jnp.exp(xp - m), 0.0)
-            z = jnp.sum(e)
-            p = e / jnp.maximum(z, 1e-30)
-            degenerate = ~jnp.isfinite(m)
-
-            # nucleus by threshold bisection: smallest c with
-            # sum(p[p > c]) <= top_p; keep p >= c (first-crossing token
-            # included, matching the sorted-cumsum rule)
-            def bis_p(_, lohi):
-                lo, hi = lohi
-                mid = 0.5 * (lo + hi)
-                mass = jnp.sum(jnp.where(p > mid, p, 0.0))
-                return (
-                    jnp.where(mass > top_p, mid, lo),
-                    jnp.where(mass > top_p, hi, mid),
-                )
-
-            _, c = lax.fori_loop(0, 26, bis_p, (jnp.float32(0.0), jnp.float32(1.0)))
-            # force-include the penalized argmax: the bisection threshold can
-            # land one float32 ULP above p_max when p_max < 2^-3 (the [0,1]
-            # bisection's resolution is coarser than ULP there), which would
-            # empty the kept set and silently bypass the repetition penalty
-            # via the argmax fallback. The reference's sorted-cumsum rule
-            # keeps the first nucleus entry unconditionally
-            # (src/sopro/sampling.py:70-76); mirror that.
-            keep2 = keep1 & ((p >= c) | (xp == m))
-            mass2 = jnp.sum(jnp.where(keep2, p, 0.0))
-            degenerate = degenerate | (mass2 <= 1e-12)
-
-            # Gumbel-max draw over the kept set (argmax(x + g) == categorical
-            # over renormalized kept probabilities)
-            u = _uniform_bits(seed, t, (1, v))
-            gum = -jnp.log(-jnp.log(u))
-            score = jnp.where(keep2, xp + gum, -jnp.inf)
-            tok_s = jnp.argmax(score, axis=-1)[0].astype(jnp.int32)
-            tok_g = jnp.argmax(x, axis=-1)[0].astype(jnp.int32)
-            tok = jnp.where(degenerate, tok_g, tok_s)
-
-            # ---- bookkeeping (models/sopro.ar_single_step) ---------------
-            # masked rewrite instead of a dynamic-offset store (alignment)
-            row_s = jax.lax.broadcasted_iota(jnp.int32, (max_steps, 1), 0)
-            tokens_ref[...] = jnp.where(row_s == t, tok, tokens_ref[...])
-            rolled = pltpu.roll(hist_ref[...], shift=HIST_PAD - 1, axis=0)
-            row_h = jax.lax.broadcasted_iota(jnp.int32, (HIST_PAD, 1), 0)
-            hist_ref[...] = jnp.where(row_h == HIST_PAD - 1, tok, rolled)
-
-            same = (tok == st_ref[0]) & (t > 0)
-            st_ref[1] = jnp.where(same, st_ref[1] + 1, 0)
-            st_ref[0] = tok
-
-            is_eos = tok == eos
-            st_ref[3] = jnp.where(
-                is_eos & (st_ref[3] >= max_steps), t, st_ref[3]
-            )
-            st_ref[2] = jnp.where(
-                is_eos & ((t + 1) >= min_gen), 1, st_ref[2]
-            )
-            st_ref[4] = t + 1
-
-        return _
-
-    lax.fori_loop(0, max_steps, step, 0)
-    info_ref[...] = jnp.concatenate(
-        [st_ref[3].reshape(1, 1), st_ref[4].reshape(1, 1),
-         st_ref[2].reshape(1, 1)], axis=1
-    )
-
-
-def ar_generate_pallas_resident(
-    ctx: PallasResidentContext,
-    cfg: SoproTTSConfig,
-    cond_ar: jnp.ndarray,  # [1, S, D]
-    seed: jnp.ndarray,
-    top_p: jnp.ndarray,
-    temperature: jnp.ndarray,
-    recovery_top_p: jnp.ndarray,
-    recovery_temp: jnp.ndarray,
-    min_gen: jnp.ndarray,
-    max_steps: int,
-    anti_loop: bool = True,
-    loop_streak: int = 8,
-    *,
-    interpret: bool | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Whole AR decode in one kernel ->
-    (tokens [1, S], first_eos [1], t [1], stopped [1] bool)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    stacked = ctx.stacked
-    kv_k, kv_v = ctx.kv_k, ctx.kv_v
-    if kv_k.shape[-1] != HEAD_PAD:
-        kv_k, kv_v = pad_kv_heads(kv_k), pad_kv_heads(kv_v)
-    n_attn = kv_k.shape[0]
-    l = kv_k.shape[-2]
-    d = int(cfg.d_model)
-    k_sz = int(cfg.ar_kernel)
-    ctx_len = (k_sz - 1) * max(cfg.ar_dilations()) + 1
-    s = int(max_steps)
-
-    scal_f = jnp.stack(
-        [jnp.float32(top_p), jnp.float32(temperature),
-         jnp.float32(recovery_top_p), jnp.float32(recovery_temp)]
-    ).reshape(1, 4)
-    scal_i = jnp.stack(
-        [jnp.int32(seed), jnp.int32(min_gen), jnp.int32(loop_streak)]
-    ).reshape(1, 3)
-
-    kernel = functools.partial(
-        _ar_resident_kernel, cfg, l, s, bool(anti_loop)
-    )
-    smem = lambda n: pl.BlockSpec(memory_space=pltpu.SMEM)
-    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    tokens, info = pl.pallas_call(
-        kernel,
-        in_specs=[smem(4), smem(3)] + [full()] * 22,
-        out_specs=[full(), full()],
-        out_shape=[
-            jax.ShapeDtypeStruct((s, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 3), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM(
-                (int(cfg.n_layers_ar), ctx_len, d), cond_ar.dtype
-            ),
-            pltpu.VMEM((HIST_PAD, 1), jnp.int32),
-            pltpu.SMEM((8,), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(
-        scal_f, scal_i, cond_ar[0], ctx.emb,
-        stacked["norm"], stacked["glu_w"], stacked["glu_b"],
-        stacked["dw_w"], stacked["dw_b"], stacked["ff_norm"],
-        stacked["ff1_w"], stacked["ff1_b"], stacked["ff2_w"], stacked["ff2_b"],
-        stacked["x_nq"], stacked["x_q"], stacked["x_out"], stacked["x_gate"],
-        kv_k.reshape(n_attn, -1, l, HEAD_PAD)[:, :TEXT_HEADS],
-        kv_v.reshape(n_attn, -1, l, HEAD_PAD)[:, :TEXT_HEADS],
-        ctx.mask.astype(jnp.int32), stacked["out_norm"],
-        stacked["head_w"], stacked["head_b"],
-    )
-    return tokens[:, 0][None], info[:, 0], info[:, 1], info[:, 2] != 0

@@ -133,6 +133,34 @@ class ContinuousBatcher:
         self.carry = M.init_ar_carry(cfgm, b, s, jax.random.PRNGKey(0), dtype=self.eng.dtype)
         # stopped=True marks a free slot: frozen by the per-row masking
         self.carry = self.carry._replace(stopped=jnp.ones((b,), bool))
+
+        # Resident tick: when the whole serving batch fits the VMEM budget
+        # (B=8 at bucket 256 is ~41 MB), every tick's AR chunk runs inside
+        # ONE whole-chunk VMEM-resident pallas_call (ops/pallas_ar_loop.py)
+        # instead of cf per-step XLA dispatches. Single-device only: a
+        # Pallas call under a dp-sharded pjit would need shard_map, so the
+        # mesh path stays on the XLA chunk (documented in docs/serving.md).
+        self.use_resident = (
+            mesh is None
+            and self.eng.use_pallas_resident
+            and self.eng.resident_vmem_bytes(self.B, self.L, self.S)
+            <= self.eng.RESIDENT_VMEM_BUDGET
+        )
+        self._res_static = None
+        if self.use_resident:
+            from sopro_tpu.ops.pallas_ar import pack_conv_state, stack_ar_params
+
+            self.carry = self.carry._replace(
+                conv_state=[pack_conv_state(self.carry.conv_state)]
+            )
+            emb = self.eng.params["cb_embed"]["emb"]
+            bos = int(cfgm.num_codebooks) * int(cfgm.codebook_size)
+            self._res_static = (
+                stack_ar_params(self.eng.params["ar"], cfgm),
+                jnp.concatenate(
+                    [emb[: cfgm.ar_vocab], emb[bos: bos + 1]], axis=0
+                ),
+            )
         self.cond = jnp.zeros((b, s, d), self.eng.dtype)
         zero_txt = jnp.zeros((b, self.L, d), self.eng.dtype)
         self.txt_kv = G.build_text_kv_caches(
@@ -223,7 +251,13 @@ class ContinuousBatcher:
             ]
             carry = M.ARCarry(
                 t=carry.t.at[slot].set(0),
-                conv_state=[c.at[slot].set(0.0) for c in carry.conv_state],
+                # packed resident buffer is [N, B, CTX, D] (axis 1 = rows);
+                # XLA per-block buffers are [B, ctx, D]
+                conv_state=[
+                    c.at[:, slot].set(0.0) if c.ndim == 4
+                    else c.at[slot].set(0.0)
+                    for c in carry.conv_state
+                ],
                 hist=carry.hist.at[slot].set(-1),
                 streak=carry.streak.at[slot].set(0),
                 last=carry.last.at[slot].set(0),
@@ -242,10 +276,13 @@ class ContinuousBatcher:
 
         self._join = jax.jit(join)
 
-        def tick(params, mp, carry, cond, txt_kv, row, mimi_state, emitted):
-            """One fused tick: AR chunk for every row, windowed NAR over the
-            new frames, streaming vocoder step, and a packed
-            [waveforms | scalars] buffer so the host syncs exactly once."""
+        def tick(params, mp, carry, cond, txt_kv, row, mimi_state, emitted,
+                 res_static=None):
+            """One fused tick: AR chunk for every row (ONE resident
+            pallas_call when `res_static` is set, else cf XLA steps),
+            windowed NAR over the new frames, streaming vocoder step, and a
+            packed [waveforms | scalars] buffer so the host syncs exactly
+            once."""
             settings = M.ARSettings(
                 top_p=row["top_p"],
                 temperature=row["temp"],
@@ -254,8 +291,31 @@ class ContinuousBatcher:
                 min_gen_frames=row["min_gen"],
                 anti_loop=True,
             )
+            if res_static is not None:
+                from sopro_tpu.ops.pallas_ar import HEAD_PAD, pad_kv_heads
+                from sopro_tpu.ops.pallas_ar_loop import ResidentLoopContext
+
+                stacked, emb = res_static
+                kv_k = jnp.stack(
+                    [kv["k"] for kv in txt_kv if kv is not None]
+                )  # [A, B, H, L, hd]
+                kv_v = jnp.stack([kv["v"] for kv in txt_kv if kv is not None])
+                a, b_, h, l, hd = kv_k.shape
+                if hd != HEAD_PAD:
+                    kv_k, kv_v = pad_kv_heads(kv_k), pad_kv_heads(kv_v)
+                kvc = ResidentLoopContext(
+                    stacked=stacked,
+                    kv_k=kv_k.reshape(a, b_ * h, l, HEAD_PAD),
+                    kv_v=kv_v.reshape(a, b_ * h, l, HEAD_PAD),
+                    mask=next(
+                        kv["mask"] for kv in txt_kv if kv is not None
+                    ),
+                    emb=emb,
+                )
+            else:
+                kvc = txt_kv
             carry = M.ar_generate_chunk(
-                params, cfgm, carry, cond, txt_kv, settings, cf
+                params, cfgm, carry, cond, kvc, settings, cf
             )
             # per-row max_frames: force-stop rows at their cap
             capped = carry.t >= (row["max_frames"] + 1)
@@ -349,6 +409,94 @@ class ContinuousBatcher:
         for _ in h.chunks():
             pass
 
+    def measure_tick_device_ms(self, ref, text: str = "benchmark tick",
+                               reps: int = 3) -> dict:
+        """Pure DEVICE cost of one serving tick with every slot active, net
+        of the host<->device link: chain the jitted tick graph N times
+        inside one dispatch (each iteration advances the carry, so no
+        iteration can be elided) and difference N=1 vs N=1+2*reps. Call
+        only while the scheduler loop is idle (no live sessions). Returns
+        {"tick_device_ms", "path", "rows"}."""
+        ids = self.tts.encode_text(text)
+        ids_p = np.zeros((1, self.L), np.int32)
+        ids_p[0, : len(ids)] = ids
+        msk = np.zeros((1, self.L), bool)
+        msk[0, : len(ids)] = True
+        new_cond, new_kv = self._prep(
+            self.eng.params, jnp.asarray(ids_p), jnp.asarray(msk), ref,
+            jnp.float32(self.cfg.style_strength),
+        )
+        b = self.B
+        bcast = lambda x: jnp.broadcast_to(x, (b,) + x.shape[1:])
+        cond = bcast(new_cond)
+        txt_kv = [
+            None if kv is None else {k: bcast(v) for k, v in kv.items()}
+            for kv in new_kv
+        ]
+        carry = M.init_ar_carry(
+            self.cfg, b, self.S, jax.random.PRNGKey(42), dtype=self.eng.dtype
+        )
+        if self.use_resident:
+            from sopro_tpu.ops.pallas_ar import pack_conv_state
+
+            carry = carry._replace(
+                conv_state=[pack_conv_state(carry.conv_state)]
+            )
+        row = {
+            "top_p": self.row_top_p, "temp": self.row_temp,
+            "min_gen": self.row_min_gen, "max_frames": self.row_max_frames,
+        }
+        mimi_state = init_mimi_stream_state(
+            self.eng.mimi_cfg, b, dtype=self.eng.dtype
+        )
+        emitted = jnp.zeros((b,), jnp.int32)
+        tick = self._tick
+
+        def runner(n):
+            # every array rides as a jit ARGUMENT (closures would bake the
+            # weights/KV into the HLO as constants)
+            @jax.jit
+            def f(params, mp, carry, cond, tkv, row, mimi_state, emitted,
+                  res_static):
+                def it(i, st):
+                    c, ms, em, acc = st
+                    c, ms, em, packed = tick(
+                        params, mp, c, cond, tkv, row, ms, em, res_static
+                    )
+                    return c, ms, em, acc + jnp.sum(
+                        packed.astype(jnp.float32)
+                    )
+
+                _, _, _, acc = jax.lax.fori_loop(
+                    0, n, it, (carry, mimi_state, emitted, jnp.float32(0.0))
+                )
+                return acc
+
+            return f
+
+        import time as _time
+
+        r1 = runner(1)
+        rn = runner(1 + 2 * reps)
+
+        def tmin(fn, k=3):
+            args = (self.eng.params, self.eng.mimi_params, carry, cond,
+                    txt_kv, row, mimi_state, emitted, self._res_static)
+            jax.block_until_ready(fn(*args))
+            out = []
+            for _ in range(k):
+                t0 = _time.perf_counter()
+                jax.block_until_ready(fn(*args))
+                out.append(_time.perf_counter() - t0)
+            return min(out)
+
+        t1, tn = tmin(r1), tmin(rn)
+        return {
+            "tick_device_ms": max(tn - t1, 0.0) / (2 * reps) * 1000.0,
+            "path": "resident" if self.use_resident else "xla",
+            "rows": b,
+        }
+
     # ------------------------------------------------------------- interface
 
     def submit(
@@ -374,16 +522,27 @@ class ContinuousBatcher:
                 f"bucket of {self.L}; shorten the text or raise text_bucket"
             )
         handle = SessionHandle(sid=id(object()))
-        req = {
-            "handle": handle,
-            "ids": ids,
-            "ref": ref,
-            "top_p": float(top_p),
-            "temperature": float(temperature),
-            "style_strength": float(
+        # Conditioning runs HERE, on the submitting thread — jax dispatch is
+        # async, so the device work overlaps live ticks and the scheduler
+        # thread never stalls on a join's prep (or its first-call compile;
+        # warmup() pre-compiles this path). Bad inputs also raise directly
+        # to the caller instead of surfacing post-admit.
+        ids_p = np.zeros((1, self.L), np.int32)
+        ids_p[0, : len(ids)] = ids
+        mask = np.zeros((1, self.L), bool)
+        mask[0, : len(ids)] = True
+        prepped = self._prep(
+            self.eng.params, jnp.asarray(ids_p), jnp.asarray(mask), ref,
+            jnp.float32(
                 style_strength if style_strength is not None
                 else self.cfg.style_strength
             ),
+        )
+        req = {
+            "handle": handle,
+            "prepped": prepped,
+            "top_p": float(top_p),
+            "temperature": float(temperature),
             "max_frames": int(
                 min(max_frames, self.max_frames_cap) if max_frames
                 else self.max_frames_cap
@@ -410,15 +569,7 @@ class ContinuousBatcher:
                 continue
             slot = free[0]
             try:
-                ids = req["ids"]
-                ids_p = np.zeros((1, self.L), np.int32)
-                ids_p[0, : len(ids)] = ids
-                mask = np.zeros((1, self.L), bool)
-                mask[0, : len(ids)] = True
-                new_cond, new_kv = self._prep(
-                    self.eng.params, jnp.asarray(ids_p), jnp.asarray(mask),
-                    req["ref"], jnp.float32(req["style_strength"]),
-                )
+                new_cond, new_kv = req["prepped"]
                 row = {
                     "top_p": self.row_top_p, "temp": self.row_temp,
                     "min_gen": self.row_min_gen,
@@ -500,6 +651,7 @@ class ContinuousBatcher:
         self.carry, self.mimi_state, self.emitted, packed = self._tick(
             self.eng.params, self.eng.mimi_params, self.carry, self.cond,
             self.txt_kv, row, self.mimi_state, self.emitted,
+            self._res_static,
         )
         self._dispatch_ms.append((time.perf_counter() - t0) * 1000.0)
         del self._dispatch_ms[:-100]

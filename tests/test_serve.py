@@ -93,6 +93,83 @@ def test_concurrent_sessions_match_solo(tts, batcher):
         np.testing.assert_allclose(outs[i], solo[i], rtol=1e-4, atol=1e-5)
 
 
+@pytest.fixture(scope="module")
+def tts_resident(tts):
+    """Same weights/codec as `tts`, but with the resident tick forced on
+    (CPU runs the kernel in interpret mode)."""
+    rt = RuntimeConfig(
+        text_buckets=(16,), ref_buckets=(16,), nar_pad_multiple=8,
+        use_pallas_resident=True,
+    )
+    eng = Engine(
+        tts.engine.params, tts.cfg, tts.engine.mimi_params,
+        tts.engine.mimi_cfg, rt,
+    )
+    return SoproTTS(eng, tts.cfg, _TinyTok(), rt)
+
+
+def test_resident_tick_matches_solo(tts_resident):
+    """VERDICT r2 #1 'done' criterion: with the serving tick running the
+    whole-chunk VMEM-resident kernel, concurrent sessions still produce
+    exactly what each produces alone (and the batcher actually selected the
+    resident path)."""
+    b = ContinuousBatcher(
+        tts_resident, slots=3, chunk_frames=4, text_bucket=16,
+        max_frames=CFG["max_frames"],
+    )
+    assert b.use_resident, "batcher did not select the resident tick"
+    try:
+        texts = ["alpha one", "beta two two", "gamma three"]
+        seeds = [11, 22, 33]
+        solo = [
+            _solo_stream(tts_resident, t, s) for t, s in zip(texts, seeds)
+        ]
+        handles = [
+            b.submit(t, _ref(tts_resident, seed=0), seed=s)
+            for t, s in zip(texts, seeds)
+        ]
+        outs = []
+        for h in handles:
+            chunks = list(h.chunks())
+            outs.append(
+                np.concatenate(chunks, axis=1) if chunks else np.zeros((1, 0))
+            )
+        for i in range(3):
+            assert outs[i].shape == solo[i].shape, (
+                i, outs[i].shape, solo[i].shape,
+            )
+            np.testing.assert_allclose(outs[i], solo[i], rtol=1e-4, atol=1e-5)
+    finally:
+        b.stop()
+
+
+def test_prep_runs_on_submitter_thread(tts, batcher):
+    """A join must not stall live ticks: conditioning (_prep) runs on the
+    submitting thread, never the scheduler tick thread (VERDICT r2 #5)."""
+    import threading
+
+    calls = []
+    orig = batcher._prep
+
+    def spy(*a, **k):
+        calls.append(threading.current_thread())
+        return orig(*a, **k)
+
+    batcher._prep = spy
+    try:
+        h = batcher.submit("thread check", _ref(tts, seed=0), seed=1)
+        list(h.chunks())
+    finally:
+        batcher._prep = orig
+    assert calls, "prep never ran"
+    assert all(c is threading.current_thread() for c in calls), (
+        "prep ran off the submitting thread"
+    )
+    assert all(c is not batcher._thread for c in calls), (
+        "prep ran on the scheduler tick thread"
+    )
+
+
 def test_more_sessions_than_slots(tts, batcher):
     """Overflow sessions wait and are admitted as slots free up."""
     handles = [
@@ -111,11 +188,12 @@ def test_sessions_join_mid_flight(tts, batcher):
     solo output (slot join does not disturb co-residents, and the late row's
     own state starts clean)."""
     solo_a = _solo_stream(tts, "first one", 5)
-    solo_b = _solo_stream(tts, "late joiner", 6)
+    solo_b = _solo_stream(tts, "late joiner", 8)
+    assert solo_b.shape[1] > 0  # guard: pick a seed that emits audio
 
     ha = batcher.submit("first one", _ref(tts, seed=0), seed=5)
     got_first = ha.out.get()  # wait until A is actually decoding
-    hb = batcher.submit("late joiner", _ref(tts, seed=0), seed=6)
+    hb = batcher.submit("late joiner", _ref(tts, seed=0), seed=8)
 
     rest_a = [got_first]
     while True:

@@ -80,32 +80,24 @@ def test_pallas_ar_step_real_mosaic(full_size, rng):
 
 
 def test_resident_kernel_real_mosaic(full_size):
-    """Whole-loop resident AR kernel under the REAL Mosaic lowering: the
-    near-greedy prefix must match the XLA while_loop until the first genuine
-    logit near-tie (different RNG streams legitimately flip exact ties), and
-    the sampled path must be bitwise reproducible per seed."""
+    """Whole-loop/chunk resident AR kernel under the REAL Mosaic lowering:
+    the near-greedy prefix must match the XLA while_loop until the first
+    genuine logit near-tie (Mosaic and XLA accumulate in different orders,
+    so exact ties can legitimately flip), the sampled path must be bitwise
+    reproducible per seed, and chunked state-in/state-out must be bitwise
+    equal to the whole-loop call (same kernel, same stream)."""
     import jax
     import jax.numpy as jnp
 
     from sopro_tpu.models import sopro as M
-    from sopro_tpu.ops.pallas_ar import (
-        PallasResidentContext, stack_ar_params,
-    )
+    from tests.test_pallas_resident import make_loop_context
 
     cfg, params, txt, mask, kvs = full_size
     S = 49
     cond = jax.random.normal(
         jax.random.PRNGKey(2), (1, S, cfg.d_model)
     ) * 0.02
-    kv_k = jnp.stack([kv["k"] for kv in kvs if kv is not None])
-    kv_v = jnp.stack([kv["v"] for kv in kvs if kv is not None])
-    emb = params["cb_embed"]["emb"]
-    bos = cfg.num_codebooks * cfg.codebook_size
-    emb_c = jnp.concatenate([emb[: cfg.ar_vocab], emb[bos: bos + 1]], axis=0)
-    ctx = PallasResidentContext(
-        stacked=stack_ar_params(params["ar"], cfg),
-        kv_k=kv_k, kv_v=kv_v, mask=mask, emb=emb_c,
-    )
+    ctx = make_loop_context(params, cfg, kvs, mask)
     ng = M.ARSettings(
         top_p=jnp.float32(1e-5), temperature=jnp.float32(1e-4),
         recovery_top_p=jnp.float32(1e-5), recovery_temp=jnp.float32(1e-4),
@@ -130,6 +122,18 @@ def test_resident_kernel_real_mosaic(full_size):
     b = M.ar_generate(params, cfg, cond, txt, mask, jax.random.PRNGKey(1),
                       s1, S, kv_caches=ctx)
     np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+    # chunked == full, bitwise, on hardware (the serving-tick contract)
+    carry = M.init_ar_carry(cfg, 1, S, jax.random.PRNGKey(1))
+    carry = M.maybe_pack_carry(carry, ctx)
+    for _ in range(0, S + 6, 7):
+        carry = M.ar_generate_chunk(
+            params, cfg, carry, cond, ctx, s1, 7
+        )
+    np.testing.assert_array_equal(
+        np.asarray(a.tokens), np.asarray(carry.tokens)
+    )
+    assert int(a.t[0]) == int(carry.t[0])
 
 
 def test_pallas_vocoder_real_mosaic(rng):

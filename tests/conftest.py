@@ -20,9 +20,17 @@ if not TPU_LANE:
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # XLA CPU aborts the whole process if a cross-device collective's
+    # participants don't all arrive within 40 s; with the 8 virtual devices
+    # time-sharing this box's single core, flagship-size sharded steps
+    # legitimately exceed that. Raise both rendezvous timeouts.
+    if "collective" not in flags:
+        flags += (
+            " --xla_cpu_collective_timeout_seconds=1800"
+            " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
+        )
+    os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

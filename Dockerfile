@@ -3,7 +3,10 @@
 # install jax[tpu] instead.
 FROM python:3.12-slim
 
+# libmpg123/libvorbisfile give the native runtime out-of-box mp3/ogg
+# reference-upload decode (the reference image needs libsndfile for this)
 RUN apt-get update && apt-get install -y --no-install-recommends g++ make \
+    libmpg123-0 libvorbisfile3 \
     && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /app

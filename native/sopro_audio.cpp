@@ -10,8 +10,12 @@
 #include <cmath>
 #include <cstddef>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
+
+#include <dlfcn.h>
 
 extern "C" {
 
@@ -164,5 +168,215 @@ int sopro_trim_silence_bounds(const float* wav, size_t n, int sr,
   *end_out = (size_t)end;
   return 1;
 }
+
+// ---------------------------------------------------------------------------
+// compressed-audio decode (mp3 via libmpg123, ogg-vorbis via libvorbisfile)
+//
+// The reference gets mp3/flac/ogg decode for free through its hard soundfile
+// + torchaudio dependencies (reference: pyproject.toml:15-25, audio.py:89).
+// This image ships neither, but the distro's codec libraries are present —
+// they are dlopen'd lazily with prototypes declared here, so the build has
+// zero compile-time audio deps and degrades cleanly when a lib is absent.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// --- libmpg123 (prototypes match the stable mpg123 C ABI) ---
+typedef struct mpg123_handle_struct mpg123_handle;
+struct Mpg123Api {
+  int (*init)(void);
+  mpg123_handle* (*make)(const char*, int*);
+  int (*open)(mpg123_handle*, const char*);
+  int (*format_none)(mpg123_handle*);
+  int (*format)(mpg123_handle*, long, int, int);
+  int (*getformat)(mpg123_handle*, long*, int*, int*);
+  int (*read)(mpg123_handle*, void*, size_t, size_t*);
+  int (*close)(mpg123_handle*);
+  void (*destroy)(mpg123_handle*);
+  void* lib = nullptr;
+  bool ok = false;
+};
+
+Mpg123Api& mpg123_api() {
+  static Mpg123Api api;
+  static bool tried = false;
+  if (tried) return api;
+  tried = true;
+  api.lib = dlopen("libmpg123.so.0", RTLD_NOW | RTLD_LOCAL);
+  if (!api.lib) return api;
+  api.init = (int (*)(void))dlsym(api.lib, "mpg123_init");
+  api.make = (mpg123_handle * (*)(const char*, int*)) dlsym(api.lib, "mpg123_new");
+  api.open = (int (*)(mpg123_handle*, const char*))dlsym(api.lib, "mpg123_open");
+  api.format_none = (int (*)(mpg123_handle*))dlsym(api.lib, "mpg123_format_none");
+  api.format = (int (*)(mpg123_handle*, long, int, int))dlsym(api.lib, "mpg123_format");
+  api.getformat =
+      (int (*)(mpg123_handle*, long*, int*, int*))dlsym(api.lib, "mpg123_getformat");
+  api.read = (int (*)(mpg123_handle*, void*, size_t, size_t*))dlsym(api.lib,
+                                                                    "mpg123_read");
+  api.close = (int (*)(mpg123_handle*))dlsym(api.lib, "mpg123_close");
+  api.destroy = (void (*)(mpg123_handle*))dlsym(api.lib, "mpg123_delete");
+  api.ok = api.init && api.make && api.open && api.format_none && api.format &&
+           api.getformat && api.read && api.close && api.destroy;
+  if (api.ok) api.ok = api.init() == 0;  // MPG123_OK
+  return api;
+}
+
+constexpr int kMpg123Ok = 0;
+constexpr int kMpg123Done = -12;
+constexpr int kMpg123NewFormat = -11;
+constexpr int kMpg123EncSigned16 = 0xD0;  // the always-available encoding
+
+// decodes into mono float32; returns 0 ok, 1 undecodable, 2 lib missing
+int decode_mp3(const char* path, std::vector<float>& mono, int* sr) {
+  Mpg123Api& api = mpg123_api();
+  if (!api.ok) return 2;
+  int err = 0;
+  mpg123_handle* h = api.make(nullptr, &err);
+  if (!h) return 1;
+  if (api.open(h, path) != kMpg123Ok) {
+    api.destroy(h);
+    return 1;
+  }
+  long rate = 0;
+  int ch = 0, enc = 0;
+  if (api.getformat(h, &rate, &ch, &enc) != kMpg123Ok || rate <= 0 || ch <= 0) {
+    api.close(h);
+    api.destroy(h);
+    return 1;
+  }
+  // force s16 output at the stream's native rate/channels (s16 is the one
+  // encoding every libmpg123 build provides; float support is optional)
+  api.format_none(h);
+  if (api.format(h, rate, ch, kMpg123EncSigned16) != kMpg123Ok) {
+    api.close(h);
+    api.destroy(h);
+    return 1;
+  }
+  std::vector<unsigned char> buf(1 << 18);
+  const float scale = 1.0f / 32768.0f;
+  for (;;) {
+    size_t done = 0;
+    int r = api.read(h, buf.data(), buf.size(), &done);
+    if (done > 0) {
+      const int16_t* s = (const int16_t*)buf.data();
+      const size_t frames = done / sizeof(int16_t) / ch;
+      const float k = scale / (float)ch;
+      for (size_t i = 0; i < frames; ++i) {
+        float acc = 0.0f;
+        for (int c = 0; c < ch; ++c) acc += (float)s[i * ch + c];
+        mono.push_back(acc * k);
+      }
+    }
+    if (r == kMpg123Done) break;
+    if (r == kMpg123NewFormat) {
+      if (api.getformat(h, &rate, &ch, &enc) != kMpg123Ok || ch <= 0) break;
+      continue;
+    }
+    if (r != kMpg123Ok && done == 0) break;
+  }
+  api.close(h);
+  api.destroy(h);
+  *sr = (int)rate;
+  return mono.empty() ? 1 : 0;
+}
+
+// --- libvorbisfile ---
+// vorbis_info layout (stable libvorbis ABI, x86-64): int version; int
+// channels; long rate; ...
+struct VorbisInfoHead {
+  int version;
+  int channels;
+  long rate;
+};
+
+struct VorbisApi {
+  int (*fopen)(const char*, void*);
+  VorbisInfoHead* (*info)(void*, int);
+  long (*read_float)(void*, float***, int, int*);
+  int (*clear)(void*);
+  void* lib = nullptr;
+  bool ok = false;
+};
+
+VorbisApi& vorbis_api() {
+  static VorbisApi api;
+  static bool tried = false;
+  if (tried) return api;
+  tried = true;
+  api.lib = dlopen("libvorbisfile.so.3", RTLD_NOW | RTLD_LOCAL);
+  if (!api.lib) return api;
+  api.fopen = (int (*)(const char*, void*))dlsym(api.lib, "ov_fopen");
+  api.info = (VorbisInfoHead * (*)(void*, int)) dlsym(api.lib, "ov_info");
+  api.read_float =
+      (long (*)(void*, float***, int, int*))dlsym(api.lib, "ov_read_float");
+  api.clear = (int (*)(void*))dlsym(api.lib, "ov_clear");
+  api.ok = api.fopen && api.info && api.read_float && api.clear;
+  return api;
+}
+
+int decode_ogg(const char* path, std::vector<float>& mono, int* sr) {
+  VorbisApi& api = vorbis_api();
+  if (!api.ok) return 2;
+  // OggVorbis_File is opaque here; its real size is ~944 bytes — allocate
+  // with generous headroom (ov_fopen initializes the struct itself)
+  std::vector<unsigned char> vf(4096, 0);
+  if (api.fopen(path, vf.data()) != 0) return 1;
+  VorbisInfoHead* vi = api.info(vf.data(), -1);
+  if (!vi || vi->channels <= 0 || vi->rate <= 0) {
+    api.clear(vf.data());
+    return 1;
+  }
+  const int ch = vi->channels;
+  *sr = (int)vi->rate;
+  int bitstream = 0;
+  for (;;) {
+    float** pcm = nullptr;
+    long n = api.read_float(vf.data(), &pcm, 4096, &bitstream);
+    if (n <= 0) break;  // 0 = EOF; negative = hole/error — stop either way
+    const float k = 1.0f / (float)ch;
+    for (long i = 0; i < n; ++i) {
+      float acc = 0.0f;
+      for (int c = 0; c < ch; ++c) acc += pcm[c][i];
+      mono.push_back(acc * k);
+    }
+  }
+  api.clear(vf.data());
+  return mono.empty() ? 1 : 0;
+}
+
+}  // namespace
+
+// Decode a compressed audio file to mono float32. Container is sniffed from
+// the leading bytes (mp3: ID3 tag or MPEG sync; ogg: "OggS").
+// Returns 0 on success (*out malloc'd — free with sopro_buf_free), 1 if the
+// file is unsupported/undecodable, 2 if the needed system codec library is
+// not present.
+int sopro_decode_file(const char* path, float** out, size_t* n_out, int* sr) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  unsigned char magic[4] = {0, 0, 0, 0};
+  size_t got = fread(magic, 1, 4, f);
+  fclose(f);
+  if (got < 4) return 1;
+
+  std::vector<float> mono;
+  int rc = 1;
+  if (!memcmp(magic, "OggS", 4)) {
+    rc = decode_ogg(path, mono, sr);
+  } else if (!memcmp(magic, "ID3", 3) ||
+             (magic[0] == 0xFF && (magic[1] & 0xE0) == 0xE0)) {
+    rc = decode_mp3(path, mono, sr);
+  } else {
+    return 1;  // flac/webm/etc: no system decoder in this image
+  }
+  if (rc != 0) return rc;
+  *out = (float*)malloc(mono.size() * sizeof(float));
+  if (!*out) return 1;
+  memcpy(*out, mono.data(), mono.size() * sizeof(float));
+  *n_out = mono.size();
+  return 0;
+}
+
+void sopro_buf_free(float* p) { free(p); }
 
 }  // extern "C"

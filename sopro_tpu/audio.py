@@ -43,11 +43,21 @@ def load_audio_file(path: str) -> Tuple[np.ndarray, int]:
 
             sr, data = wavfile.read(path)
             return _to_float_mono(data), int(sr)
+
+    # mp3/ogg through the native runtime (system libmpg123/libvorbisfile,
+    # dlopen'd — the reference gets these via its hard soundfile dep)
+    from sopro_tpu import native
+
+    decoded = native.decode_file(path)
+    if decoded is not None:
+        return decoded
+
     if sf_err is not None:
         raise ValueError(f"Cannot decode {path!r}: {sf_err}")
     raise ValueError(
-        f"Cannot read {path!r}: only WAV is supported without soundfile "
-        "(install the 'audio' extra for mp3/flac/ogg/webm support)."
+        f"Cannot read {path!r}: WAV always works; mp3/ogg need the system "
+        "libmpg123/libvorbisfile (present on most distros); flac/webm need "
+        "the 'audio' extra (soundfile)."
     )
 
 

@@ -67,6 +67,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_size_t),
         ]
+        if hasattr(lib, "sopro_decode_file"):  # older cached .so lacks it
+            lib.sopro_decode_file.restype = ctypes.c_int
+            lib.sopro_decode_file.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_size_t),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.sopro_buf_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
         _LIB = lib
         return _LIB
 
@@ -108,6 +117,32 @@ def resample_poly(wav: np.ndarray, up: int, down: int) -> np.ndarray:
     out = np.empty(n_out, np.float32)
     lib.sopro_resample_poly_f32(wav, wav.size, up, down, out)
     return out
+
+
+def decode_file(path: str) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode a compressed audio file (mp3 via the system libmpg123, ogg
+    vorbis via libvorbisfile — dlopen'd at runtime, no build deps) to
+    (mono float32 [S], sr). Returns None when the native lib, the codec
+    library, or the format is unavailable; raises ValueError for a file the
+    decoder recognized but could not decode."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sopro_decode_file"):
+        return None
+    buf = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_size_t()
+    sr = ctypes.c_int()
+    rc = lib.sopro_decode_file(
+        path.encode(), ctypes.byref(buf), ctypes.byref(n), ctypes.byref(sr)
+    )
+    if rc == 2:  # codec library not installed on this system
+        return None
+    if rc != 0:
+        return None
+    try:
+        out = np.ctypeslib.as_array(buf, shape=(n.value,)).astype(np.float32)
+    finally:
+        lib.sopro_buf_free(buf)
+    return out, int(sr.value)
 
 
 def trim_silence_bounds(

@@ -168,6 +168,11 @@ class ContinuousBatcher:
         )
         self.row_top_p = jnp.full((b,), 0.9, jnp.float32)
         self.row_temp = jnp.full((b,), 1.05, jnp.float32)
+        # per-row anti-loop recovery params; a row with anti_loop disabled
+        # sets these EQUAL to its normal params, making the recovery switch
+        # a no-op (token-stream-identical to never detecting a loop)
+        self.row_rtp = jnp.full((b,), 0.85, jnp.float32)
+        self.row_rtemp = jnp.full((b,), 1.2, jnp.float32)
         self.row_min_gen = jnp.full((b,), cfgm.min_gen_frames, jnp.int32)
         self.row_max_frames = jnp.full((b,), self.max_frames_cap, jnp.int32)
         self.emitted = jnp.zeros((b,), jnp.int32)  # frames shipped per row
@@ -214,6 +219,8 @@ class ContinuousBatcher:
         self.emitted = jax.device_put(self.emitted, row)
         self.row_top_p = jax.device_put(self.row_top_p, row)
         self.row_temp = jax.device_put(self.row_temp, row)
+        self.row_rtp = jax.device_put(self.row_rtp, row)
+        self.row_rtemp = jax.device_put(self.row_rtemp, row)
         self.row_min_gen = jax.device_put(self.row_min_gen, row)
         self.row_max_frames = jax.device_put(self.row_max_frames, row)
         self.eng.params = jax.device_put(self.eng.params, repl)
@@ -239,7 +246,7 @@ class ContinuousBatcher:
         self._prep = jax.jit(prep)
 
         def join(carry, cond, txt_kv, row_arrays, slot, new_cond, new_kv, key,
-                 top_p, temp, min_gen, max_f):
+                 top_p, temp, rtp, rtemp, min_gen, max_f):
             cond = cond.at[slot].set(new_cond[0])
             txt_kv = [
                 None if old is None else {
@@ -269,6 +276,8 @@ class ContinuousBatcher:
             row_arrays = {
                 "top_p": row_arrays["top_p"].at[slot].set(top_p),
                 "temp": row_arrays["temp"].at[slot].set(temp),
+                "rtp": row_arrays["rtp"].at[slot].set(rtp),
+                "rtemp": row_arrays["rtemp"].at[slot].set(rtemp),
                 "min_gen": row_arrays["min_gen"].at[slot].set(min_gen),
                 "max_frames": row_arrays["max_frames"].at[slot].set(max_f),
             }
@@ -286,8 +295,8 @@ class ContinuousBatcher:
             settings = M.ARSettings(
                 top_p=row["top_p"],
                 temperature=row["temp"],
-                recovery_top_p=jnp.float32(0.85),
-                recovery_temp=jnp.float32(1.2),
+                recovery_top_p=row["rtp"],
+                recovery_temp=row["rtemp"],
                 min_gen_frames=row["min_gen"],
                 anti_loop=True,
             )
@@ -444,6 +453,7 @@ class ContinuousBatcher:
             )
         row = {
             "top_p": self.row_top_p, "temp": self.row_temp,
+            "rtp": self.row_rtp, "rtemp": self.row_rtemp,
             "min_gen": self.row_min_gen, "max_frames": self.row_max_frames,
         }
         mimi_state = init_mimi_stream_state(
@@ -510,6 +520,7 @@ class ContinuousBatcher:
         max_frames: Optional[int] = None,
         min_gen_frames: Optional[int] = None,
         seed: int = 0,
+        anti_loop: bool = True,
     ) -> SessionHandle:
         """Queue a session; returns immediately with a handle whose `chunks()`
         yields waveform chunks as the batch produces them. Raises ValueError
@@ -543,6 +554,12 @@ class ContinuousBatcher:
             "prepped": prepped,
             "top_p": float(top_p),
             "temperature": float(temperature),
+            # anti_loop off = recovery params equal normal params: the
+            # recovery switch becomes a no-op for this row (the reference
+            # skips its loop checks entirely, src/sopro/model.py:274-279;
+            # same token stream either way)
+            "rtp": 0.85 if anti_loop else float(top_p),
+            "rtemp": 1.2 if anti_loop else float(temperature),
             "max_frames": int(
                 min(max_frames, self.max_frames_cap) if max_frames
                 else self.max_frames_cap
@@ -572,6 +589,7 @@ class ContinuousBatcher:
                 new_cond, new_kv = req["prepped"]
                 row = {
                     "top_p": self.row_top_p, "temp": self.row_temp,
+                    "rtp": self.row_rtp, "rtemp": self.row_rtemp,
                     "min_gen": self.row_min_gen,
                     "max_frames": self.row_max_frames,
                 }
@@ -583,10 +601,13 @@ class ContinuousBatcher:
                     jnp.int32(slot), new_cond, new_kv,
                     row_key,
                     jnp.float32(req["top_p"]), jnp.float32(req["temperature"]),
+                    jnp.float32(req["rtp"]), jnp.float32(req["rtemp"]),
                     jnp.int32(req["min_gen"]), jnp.int32(req["max_frames"]),
                 )
                 self.row_top_p = row["top_p"]
                 self.row_temp = row["temp"]
+                self.row_rtp = row["rtp"]
+                self.row_rtemp = row["rtemp"]
                 self.row_min_gen = row["min_gen"]
                 self.row_max_frames = row["max_frames"]
                 self.mimi_state, self.emitted = self._reset_rows(
@@ -645,6 +666,7 @@ class ContinuousBatcher:
 
         row = {
             "top_p": self.row_top_p, "temp": self.row_temp,
+            "rtp": self.row_rtp, "rtemp": self.row_rtemp,
             "min_gen": self.row_min_gen, "max_frames": self.row_max_frames,
         }
         t0 = time.perf_counter()

@@ -318,7 +318,7 @@ def build_app():
             handle = batcher.submit(
                 input, ref, top_p=top_p, temperature=temperature,
                 style_strength=style_strength, max_frames=max_frames,
-                seed=seed,
+                seed=seed, anti_loop=anti_loop,
             )
         except ValueError as e:  # over-length text
             raise HTTPException(status_code=400, detail=str(e))

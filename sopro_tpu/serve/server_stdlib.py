@@ -217,11 +217,15 @@ class Handler(BaseHTTPRequestHandler):
         )
         stream = str(fields.get("stream", "false")).lower() in ("1", "true", "yes")
         seed = int(fields.get("seed", 0))
+        anti_loop = str(fields.get("anti_loop", "true")).lower() in (
+            "1", "true", "yes"
+        )
 
         try:
             handle = batcher.submit(
                 text, ref, top_p=top_p, temperature=temperature,
                 style_strength=style, max_frames=max_frames, seed=seed,
+                anti_loop=anti_loop,
             )
         except ValueError as e:  # over-length text
             return self._json(400, {"detail": str(e)})

@@ -143,6 +143,26 @@ def test_resident_tick_matches_solo(tts_resident):
         b.stop()
 
 
+def test_anti_loop_off_matches_solo(tts, batcher):
+    """A session with anti_loop=False must match the library path with
+    anti_loop=False: the scheduler encodes "off" as recovery params equal to
+    normal params (a per-row no-op switch), while the library path skips the
+    cycle check statically — the token stream must be identical either way
+    (reference contract: anti_loop kwarg, src/sopro/model.py:274-279)."""
+    text, seed = "delta four", 44
+    chunks = list(
+        tts.stream(text, ref=_ref(tts, seed=0), max_frames=CFG["max_frames"],
+                   chunk_frames=4, seed=seed, anti_loop=False)
+    )
+    solo = np.concatenate(chunks, axis=1) if chunks else np.zeros((1, 0))
+
+    h = batcher.submit(text, _ref(tts, seed=0), seed=seed, anti_loop=False)
+    got = list(h.chunks())
+    out = np.concatenate(got, axis=1) if got else np.zeros((1, 0))
+    assert out.shape == solo.shape
+    np.testing.assert_allclose(out, solo, rtol=1e-4, atol=1e-5)
+
+
 def test_prep_runs_on_submitter_thread(tts, batcher):
     """A join must not stall live ticks: conditioning (_prep) runs on the
     submitting thread, never the scheduler tick thread (VERDICT r2 #5)."""

@@ -27,9 +27,14 @@ time. See docs/benchmarks.md.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+# runnable as `python benchmarks/profile.py` without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TEXT = (
     "The quick brown fox jumps over the lazy dog while the curious cat "
@@ -366,13 +371,15 @@ def cmd_ar(args):
     p = eng.params
     rng = np.random.default_rng(0)
     T = 400
+    L = int(getattr(args, "text_bucket", 64) or 64)
     cond_ar = jnp.asarray(
         rng.standard_normal((1, T + 1, cfg.d_model)) * 0.02, eng.dtype
     )
     txt_seq = jnp.asarray(
-        rng.standard_normal((1, 64, cfg.d_model)) * 0.02, eng.dtype
+        rng.standard_normal((1, L, cfg.d_model)) * 0.02, eng.dtype
     )
-    text_mask = jnp.ones((1, 64), bool)
+    text_mask = jnp.ones((1, L), bool)
+    print(f"text bucket L={L}", flush=True)
     settings = M.default_ar_settings()
 
     def rep(body, reps):
@@ -473,6 +480,11 @@ def cmd_ar(args):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("cmd", choices=["stages", "onchip", "dispatch", "ar"])
+    ap.add_argument(
+        "--text_bucket", type=int, default=64,
+        help="ar: padded text length (e.g. 1024 probes the long-prompt "
+        "resident path — eligibility is a VMEM budget, not a text cap)",
+    )
     args = ap.parse_args()
     {"stages": cmd_stages, "onchip": cmd_onchip,
      "dispatch": cmd_dispatch, "ar": cmd_ar}[args.cmd](args)

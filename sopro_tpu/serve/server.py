@@ -9,7 +9,8 @@ continuous-batching scheduler: N clients stream concurrently from one chip.
 Config via environment (same variables as the reference, server.py:26-36,
 plus scheduler knobs):
   SOPRO_REPO_ID, SOPRO_REVISION, HF_TOKEN, SOPRO_REF_CACHE_DIR,
-  SOPRO_CHUNK_SIZE (default 16), SOPRO_SLOTS (batch slots, default 8),
+  SOPRO_CHUNK_SIZE (default 16), SOPRO_RAMP_FRAMES (first-chunk ramp tick,
+  default 4; >= chunk size disables), SOPRO_SLOTS (batch slots, default 8),
   SOPRO_RANDOM_INIT=1 (offline random weights), SOPRO_DEVICE ("cpu" forces
   the CPU backend).
 """
@@ -132,6 +133,9 @@ class ServerConfig:
             os.path.join(tempfile.gettempdir(), "sopro_tpu_ref_cache"),
         )
         self.chunk_size = int(os.environ.get("SOPRO_CHUNK_SIZE", "16"))
+        # first-chunk ramp: a joining session's first audio waits one
+        # ramp-sized tick instead of a full chunk tick (TTFA under load)
+        self.ramp_frames = int(os.environ.get("SOPRO_RAMP_FRAMES", "4"))
         self.slots = int(os.environ.get("SOPRO_SLOTS", "8"))
         self.random_init = os.environ.get("SOPRO_RANDOM_INIT", "") not in ("", "0")
         self.default_ref_seconds = float(
@@ -171,7 +175,8 @@ def get_tts():
 
                 mesh = make_mesh(dp, dp=dp, tp=1)
             _batcher = ContinuousBatcher(
-                _tts, slots=CFG.slots, chunk_frames=CFG.chunk_size, mesh=mesh,
+                _tts, slots=CFG.slots, chunk_frames=CFG.chunk_size,
+                ramp_frames=CFG.ramp_frames, mesh=mesh,
                 pcm16=True,  # wire protocol is 16-bit; halves tick readback
             )
             _batcher.start()

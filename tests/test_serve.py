@@ -93,6 +93,47 @@ def test_concurrent_sessions_match_solo(tts, batcher):
         np.testing.assert_allclose(outs[i], solo[i], rtol=1e-4, atol=1e-5)
 
 
+def test_ramp_tick_first_chunk_and_grid(tts):
+    """TTFA-under-load ramp (round-3): a joining session's first chunk is
+    `ramp_frames` (one short tick), and a mid-flight join's ramp tick must
+    NOT perturb an established session's waveform — established rows hold
+    their cf-aligned emission grid and carry the ramp frames as backlog."""
+    hop = tts.engine.mimi_cfg.hop_length
+
+    def make():
+        return ContinuousBatcher(
+            tts, slots=3, chunk_frames=8, ramp_frames=2, text_bucket=16,
+            max_frames=CFG["max_frames"],
+        )
+
+    solos = {}
+    b = make()
+    try:
+        for t, s in [("alpha one", 11), ("beta two two", 22)]:
+            chunks = list(b.submit(t, _ref(tts, seed=0), seed=s).chunks())
+            assert chunks[0].shape[1] == 2 * hop, "first chunk not ramp-sized"
+            solos[s] = np.concatenate(chunks, axis=1)
+        assert b.ramp_ticks >= 2
+    finally:
+        b.stop()
+
+    b = make()
+    try:
+        ha = b.submit("alpha one", _ref(tts, seed=0), seed=11)
+        it = ha.chunks()
+        first = next(it)
+        assert first.shape[1] == 2 * hop
+        hb = b.submit("beta two two", _ref(tts, seed=0), seed=22)
+        wav_a = np.concatenate([first] + list(it), axis=1)
+        wav_b = np.concatenate(list(hb.chunks()), axis=1)
+    finally:
+        b.stop()
+    assert wav_a.shape == solos[11].shape
+    np.testing.assert_allclose(wav_a, solos[11], rtol=1e-4, atol=1e-5)
+    assert wav_b.shape == solos[22].shape
+    np.testing.assert_allclose(wav_b, solos[22], rtol=1e-4, atol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def tts_resident(tts):
     """Same weights/codec as `tts`, but with the resident tick forced on

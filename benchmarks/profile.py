@@ -16,6 +16,10 @@ Subcommands (``python benchmarks/profile.py <cmd>``):
 * ``ar``       — AR per-step cost decomposition on-chip: full ar_generate on
                  the fused-kernel vs the XLA path, kernel-only argmax loop,
                  sampler-only loop.
+* ``tick``     — serving-tick decomposition at the production shape (8 rows,
+                 16-frame chunks): device cost of the full fused tick and of
+                 the resident AR chunk / windowed NAR / streaming vocoder in
+                 isolation.
 
 Timing methodology notes: wall times on this environment include 15-25 ms of
 remote-tunnel RTT per dispatch/readback; the ``onchip``/``ar`` subcommands
@@ -477,9 +481,123 @@ def cmd_ar(args):
     measure("sampler-only loop", sampler_only, T + 1)
 
 
+def cmd_tick(args):
+    """Serving-tick decomposition: on-chip device cost of the full 8-row
+    tick and of its three stages in isolation (resident AR chunk, windowed
+    NAR, streaming vocoder) — what `serve8_tick_device_ms` is made of."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    import sopro_tpu.models.sopro as M
+    from sopro_tpu.codec.streaming import mimi_decode_step
+    from sopro_tpu.serve.scheduler import (
+        ContinuousBatcher, build_resident_ctx,
+    )
+
+    tts = _setup()
+    eng, cfg = tts.engine, tts.cfg
+    rng = np.random.default_rng(0)
+    ref = eng.prepare_reference(
+        rng.integers(0, cfg.codebook_size, (62, cfg.num_codebooks)).astype(
+            np.int32
+        )
+    )
+    cf = 16
+    b = ContinuousBatcher(tts, slots=8, chunk_frames=cf, pcm16=True)
+    print(f"tick path: {'resident' if b.use_resident else 'xla'}  rows=8 "
+          f"cf={cf}  W={cf + b.nar_ctx}", flush=True)
+
+    full = b.measure_tick_device_ms(ref)
+    carry, cond, txt_kv, row, mimi_state, emitted = b.bench_state(ref)
+    settings = M.ARSettings(
+        top_p=row["top_p"], temperature=row["temp"],
+        recovery_top_p=row["rtp"], recovery_temp=row["rtemp"],
+        min_gen_frames=row["min_gen"], anti_loop=True,
+    )
+    W = cf + b.nar_ctx
+
+    def rep_ar(n):
+        @jax.jit
+        def f(carry, cond, tkv, res_static):
+            kvc = (build_resident_ctx(res_static, tkv)
+                   if res_static is not None else tkv)
+
+            def it(i, c):
+                return M.ar_generate_chunk(
+                    eng.params, cfg, c, cond, kvc, settings, cf
+                )
+
+            c = lax.fori_loop(0, n, it, carry)
+            return c.tokens, c.t
+
+        return f
+
+    def rep_nar(n):
+        win = cond[:, :W]
+        rvq0 = carry.tokens[:, :W]
+        mask = jnp.ones((8, W), bool)
+
+        @jax.jit
+        def f(params, rvq0):
+            def it(i, rvq):
+                toks = M.nar_refine(params, cfg, win, rvq, mask=mask)
+                # feed cb-2 back as next rvq-1 so iterations chain (nothing
+                # hoistable / dead-code-eliminable)
+                return toks[..., 1] % cfg.codebook_size
+
+            return lax.fori_loop(0, n, it, rvq0)
+
+        return f
+
+    def rep_voc(n):
+        codes = jnp.asarray(
+            rng.integers(0, cfg.codebook_size, (8, cf, cfg.num_codebooks)),
+            jnp.int32,
+        )
+        mask = jnp.ones((8,), bool)
+
+        @jax.jit
+        def f(mp, st):
+            def it(i, s):
+                wav, s2 = mimi_decode_step(
+                    mp, eng.mimi_cfg, (codes + i) % cfg.codebook_size, s,
+                    mask=mask,
+                )
+                return s2
+
+            s = lax.fori_loop(0, n, it, st)
+            return jax.tree.map(
+                lambda x: jnp.sum(x.astype(jnp.float32)), s
+            )
+
+        return f
+
+    def dev_ms(mk, *xargs, reps=3):
+        r1, rn = mk(1), mk(1 + 2 * reps)
+        t1 = timed(lambda: jax.block_until_ready(r1(*xargs)))
+        tn = timed(lambda: jax.block_until_ready(rn(*xargs)))
+        return max(tn - t1, 0.0) / (2 * reps) * 1000.0
+
+    ar_ms = dev_ms(rep_ar, carry, cond, txt_kv, b._res_static)
+    nar_ms = dev_ms(rep_nar, eng.params, carry.tokens[:, :W])
+    voc_ms = dev_ms(rep_voc, eng.mimi_params, mimi_state)
+    b.stop()
+    tick = full["tick_device_ms"]
+    print(f"full tick        {tick:7.2f} ms   ({full['path']})", flush=True)
+    for name, v in (("ar chunk (16)", ar_ms), ("windowed NAR", nar_ms),
+                    ("vocoder step", voc_ms)):
+        print(f"{name:16s} {v:7.2f} ms   ({100 * v / tick:4.1f}% of tick)",
+              flush=True)
+    print(f"residual (pack/emit bookkeeping) "
+          f"{tick - ar_ms - nar_ms - voc_ms:7.2f} ms", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("cmd", choices=["stages", "onchip", "dispatch", "ar"])
+    ap.add_argument(
+        "cmd", choices=["stages", "onchip", "dispatch", "ar", "tick"]
+    )
     ap.add_argument(
         "--text_bucket", type=int, default=64,
         help="ar: padded text length (e.g. 1024 probes the long-prompt "
@@ -487,7 +605,7 @@ def main():
     )
     args = ap.parse_args()
     {"stages": cmd_stages, "onchip": cmd_onchip,
-     "dispatch": cmd_dispatch, "ar": cmd_ar}[args.cmd](args)
+     "dispatch": cmd_dispatch, "ar": cmd_ar, "tick": cmd_tick}[args.cmd](args)
 
 
 if __name__ == "__main__":

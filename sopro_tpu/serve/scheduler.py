@@ -56,6 +56,46 @@ def _p50(xs: List[float]) -> Optional[float]:
     return round(sorted(xs)[len(xs) // 2], 1) if xs else None
 
 
+def _ar_chunk_shardmap(mesh, cfg, carry, cond, kvc, settings, cf):
+    """Resident AR chunk under a dp mesh: shard_map runs the whole-chunk
+    Pallas kernel per shard (B/dp rows per chip, weights/emb replicated) —
+    multi-chip serving keeps the VMEM-resident fast tick instead of falling
+    back to per-step XLA. Pure dp: no collectives inside the shard."""
+    from jax.sharding import PartitionSpec as P
+
+    from sopro_tpu.ops.pallas_ar_loop import ResidentLoopContext
+
+    row, rep = P("dp"), P()
+    carry_spec = M.ARCarry(
+        t=row, conv_state=[P(None, "dp")],  # packed bufs are [N, B, CTX, D]
+        hist=row, streak=row, last=row, key=row, tokens=row,
+        first_eos=row, stopped=row,
+    )
+    ctx_spec = ResidentLoopContext(
+        stacked=jax.tree.map(lambda _: rep, kvc.stacked),
+        # [A, B*H, L, hd] with B outer in axis 1: dp-sharding axis 1 gives
+        # each chip its own rows' heads, contiguously
+        kv_k=P(None, "dp"), kv_v=P(None, "dp"), mask=row, emb=rep,
+    )
+
+    def run(carry, cond, kvc, top_p, temp, rtp, rtemp, min_gen):
+        s = M.ARSettings(
+            top_p=top_p, temperature=temp, recovery_top_p=rtp,
+            recovery_temp=rtemp, min_gen_frames=min_gen,
+            anti_loop=settings.anti_loop, loop_streak=settings.loop_streak,
+        )
+        return M.ar_generate_chunk(None, cfg, carry, cond, kvc, s, cf)
+
+    return jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(carry_spec, row, ctx_spec, row, row, row, row, row),
+        out_specs=carry_spec,
+        check_vma=False,
+    )(carry, cond, kvc, settings.top_p, settings.temperature,
+      settings.recovery_top_p, settings.recovery_temp,
+      settings.min_gen_frames)
+
+
 def build_resident_ctx(res_static, txt_kv):
     """Pack per-row text-KV caches + stacked weights into the resident
     chunk kernel's context (ops/pallas_ar_loop.ResidentLoopContext).
@@ -170,16 +210,19 @@ class ContinuousBatcher:
         # stopped=True marks a free slot: frozen by the per-row masking
         self.carry = self.carry._replace(stopped=jnp.ones((b,), bool))
 
-        # Resident tick: when the whole serving batch fits the VMEM budget
-        # (B=8 at bucket 256 is ~41 MB), every tick's AR chunk runs inside
-        # ONE whole-chunk VMEM-resident pallas_call (ops/pallas_ar_loop.py)
-        # instead of cf per-step XLA dispatches. Single-device only: a
-        # Pallas call under a dp-sharded pjit would need shard_map, so the
-        # mesh path stays on the XLA chunk (documented in docs/serving.md).
+        # Resident tick: when the per-chip slice of the serving batch fits
+        # the VMEM budget (B=8 at bucket 256 is ~41 MB), every tick's AR
+        # chunk runs inside ONE whole-chunk VMEM-resident pallas_call
+        # (ops/pallas_ar_loop.py) instead of cf per-step XLA dispatches.
+        # Under a dp mesh the kernel runs per-shard via shard_map (B/dp
+        # rows per chip; weights replicated), so multi-chip serving keeps
+        # the fast tick.
+        rows_per_chip = (
+            self.B if mesh is None else self.B // int(mesh.shape["dp"])
+        )
         self.use_resident = (
-            mesh is None
-            and self.eng.use_pallas_resident
-            and self.eng.resident_vmem_bytes(self.B, self.L, self.S)
+            self.eng.use_pallas_resident
+            and self.eng.resident_vmem_bytes(rows_per_chip, self.L, self.S)
             <= self.eng.RESIDENT_VMEM_BUDGET
         )
         self._res_static = None
@@ -263,6 +306,8 @@ class ContinuousBatcher:
         self.eng.params = jax.device_put(self.eng.params, repl)
         if self.eng.mimi_params is not None:
             self.eng.mimi_params = jax.device_put(self.eng.mimi_params, repl)
+        if self._res_static is not None:
+            self._res_static = jax.device_put(self._res_static, repl)
 
     # ------------------------------------------------------------------ jit
 
@@ -338,13 +383,20 @@ class ContinuousBatcher:
                 min_gen_frames=row["min_gen"],
                 anti_loop=True,
             )
-            kvc = (
-                build_resident_ctx(res_static, txt_kv)
-                if res_static is not None else txt_kv
-            )
-            carry = M.ar_generate_chunk(
-                params, cfgm, carry, cond, kvc, settings, cf
-            )
+            if res_static is not None:
+                kvc = build_resident_ctx(res_static, txt_kv)
+                if self.mesh is not None:
+                    carry = _ar_chunk_shardmap(
+                        self.mesh, cfgm, carry, cond, kvc, settings, cf
+                    )
+                else:
+                    carry = M.ar_generate_chunk(
+                        params, cfgm, carry, cond, kvc, settings, cf
+                    )
+            else:
+                carry = M.ar_generate_chunk(
+                    params, cfgm, carry, cond, txt_kv, settings, cf
+                )
             # per-row max_frames: force-stop rows at their cap
             capped = carry.t >= (row["max_frames"] + 1)
             carry = carry._replace(stopped=carry.stopped | capped)

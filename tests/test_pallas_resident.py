@@ -28,6 +28,11 @@ from sopro_tpu.ops.pallas_ar_loop import ResidentLoopContext
 
 from tests.test_model_parity import CFG
 
+
+# CI lane: these modules dominate suite wall-clock (compile-heavy); run them
+# via `just test-all`; `just test` runs -m "not slow" (<5 min)
+pytestmark = pytest.mark.slow
+
 S = 25
 
 

@@ -20,6 +20,10 @@ from sopro_tpu.codec.pallas_vocoder import (
 
 from tests.test_mimi_parity import SMALL as MIMI_SMALL
 
+# CI lane: production-size kernels in interpret mode are compile-heavy;
+# `just test` runs -m "not slow" (<5 min), `just test-all` runs everything
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def full_cfg():
@@ -91,4 +95,74 @@ def test_mimi_decode_with_slabs_matches_full(full_cfg, rng):
     assert out.shape == ref.shape
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_streaming_kernel_matches_xla_stream(full_cfg, rng):
+    """VERDICT r4 item 1: the stateful streaming vocoder step with packed
+    slabs (Pallas SEANet over [emb_hist ++ chunk]) must produce exactly the
+    XLA streaming path's samples chunk by chunk, across chunk-size changes
+    (serving ramp ticks) and with per-row freeze masks."""
+    from sopro_tpu.codec.streaming import (
+        init_mimi_stream_state, mimi_decode_step,
+    )
+
+    cfg, p = full_cfg
+    slabs = pack_seanet_decoder(p["decoder"], cfg)
+    T = 10
+    codes = jnp.asarray(
+        rng.integers(0, cfg.codebook_size, (2, T, cfg.num_quantizers)),
+        jnp.int32,
+    )
+    full = np.asarray(mimi_decode(p, cfg, codes))
+
+    sx = init_mimi_stream_state(cfg, batch=2)
+    sk = init_mimi_stream_state(cfg, batch=2)
+    outs_x, outs_k = [], []
+    t = 0
+    for n in (4, 2, 4):  # chunk-size change mid-stream (ramp tick shape)
+        chunk = codes[:, t: t + n]
+        wx, sx = mimi_decode_step(p, cfg, chunk, sx)
+        wk, sk = mimi_decode_step(p, cfg, chunk, sk, slabs=slabs)
+        assert wk.shape == wx.shape == (2, n * cfg.hop_length)
+        outs_x.append(np.asarray(wx))
+        outs_k.append(np.asarray(wk))
+        t += n
+    kern = np.concatenate(outs_k, axis=1)
+    np.testing.assert_allclose(
+        kern, np.concatenate(outs_x, axis=1), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(kern, full, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_kernel_freeze_mask(full_cfg, rng):
+    """A frozen row (mask=False) must keep its state — including the
+    kernel's emb_hist — bit-identical, so the scheduler's mask-frozen
+    vocoder semantics hold on the kernel path."""
+    from sopro_tpu.codec.streaming import (
+        init_mimi_stream_state, mimi_decode_step,
+    )
+
+    cfg, p = full_cfg
+    slabs = pack_seanet_decoder(p["decoder"], cfg)
+    codes = jnp.asarray(
+        rng.integers(0, cfg.codebook_size, (2, 8, cfg.num_quantizers)),
+        jnp.int32,
+    )
+    state = init_mimi_stream_state(cfg, batch=2)
+    w1, state = mimi_decode_step(p, cfg, codes[:, :4], state, slabs=slabs)
+    mask = jnp.asarray([True, False])
+    w2, state2 = mimi_decode_step(
+        p, cfg, codes[:, 4:], state, mask=mask, slabs=slabs
+    )
+    # frozen row: state untouched
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
+        if a.ndim >= 1 and a.shape[0] == 2:
+            np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    # live row advanced and matches a solo 2-chunk stream
+    solo = init_mimi_stream_state(cfg, batch=1)
+    s1, solo = mimi_decode_step(p, cfg, codes[:1, :4], solo, slabs=slabs)
+    s2, _ = mimi_decode_step(p, cfg, codes[:1, 4:], solo, slabs=slabs)
+    np.testing.assert_allclose(
+        np.asarray(w2[0]), np.asarray(s2[0]), rtol=1e-5, atol=1e-6
     )

@@ -17,6 +17,11 @@ from sopro_tpu.train import (
     shard_train_state,
 )
 
+
+# CI lane: these modules dominate suite wall-clock (compile-heavy); run them
+# via `just test-all`; `just test` runs -m "not slow" (<5 min)
+pytestmark = pytest.mark.slow
+
 CFG = SoproTTSConfig(
     d_model=64,
     n_layers_text=1,

@@ -20,6 +20,11 @@ from tests.test_e2e import _TinyTok
 from tests.test_model_parity import CFG
 from tests.test_mimi_streaming import SMALL as MIMI_SMALL
 
+
+# CI lane: these modules dominate suite wall-clock (compile-heavy); run them
+# via `just test-all`; `just test` runs -m "not slow" (<5 min)
+pytestmark = pytest.mark.slow
+
 RT = RuntimeConfig(text_buckets=(16,), ref_buckets=(16,), nar_pad_multiple=8)
 
 

@@ -209,3 +209,48 @@ def test_synthesize_small_on_chip():
     wav_f2 = tts.synthesize("on chip check", ref=ref, max_frames=24, seed=1,
                             min_gen_frames=24, fused=True, pcm16=True)
     np.testing.assert_array_equal(wav_f, wav_f2)
+
+
+def test_streaming_vocoder_real_mosaic(rng):
+    """Stateful streaming vocoder step with packed slabs under the REAL
+    Mosaic lowering: chunked kernel decode (including a ramp-sized chunk)
+    matches the XLA streaming path at bf16 tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from sopro_tpu.codec.convert import init_mimi_params
+    from sopro_tpu.codec.mimi_config import MimiConfig
+    from sopro_tpu.codec.pallas_vocoder import pack_seanet_decoder
+    from sopro_tpu.codec.streaming import (
+        init_mimi_stream_state, mimi_decode_step,
+    )
+
+    cfg = MimiConfig()
+    p = jax.device_put(jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.bfloat16), init_mimi_params(0, cfg)
+    ))
+    slabs = jax.device_put(pack_seanet_decoder(p["decoder"], cfg))
+
+    codes = jnp.asarray(
+        rng.integers(0, cfg.codebook_size, (2, 24, cfg.num_quantizers)),
+        jnp.int32,
+    )
+    step_x = jax.jit(lambda pp, c, s: mimi_decode_step(pp, cfg, c, s))
+    step_k = jax.jit(
+        lambda pp, c, s, sl: mimi_decode_step(pp, cfg, c, s, slabs=sl)
+    )
+    sx = init_mimi_stream_state(cfg, batch=2, dtype=jnp.bfloat16)
+    sk = init_mimi_stream_state(cfg, batch=2, dtype=jnp.bfloat16)
+    t = 0
+    outs_x, outs_k = [], []
+    for n in (16, 4, 4):  # serving tick + ramp-sized chunks
+        wx, sx = step_x(p, codes[:, t: t + n], sx)
+        wk, sk = step_k(p, codes[:, t: t + n], sk, slabs)
+        outs_x.append(np.asarray(wx, np.float32))
+        outs_k.append(np.asarray(wk, np.float32))
+        t += n
+    xla = np.concatenate(outs_x, axis=1)
+    kern = np.concatenate(outs_k, axis=1)
+    assert kern.shape == xla.shape
+    scale = np.abs(xla).max()
+    assert np.abs(kern - xla).max() < 0.02 * scale + 1e-4

@@ -337,45 +337,63 @@ class ContinuousBatcher:
 
         self._prep = jax.jit(prep)
 
-        def join(carry, cond, txt_kv, row_arrays, slot, new_cond, new_kv, key,
-                 top_p, temp, rtp, rtemp, min_gen, max_f):
-            cond = cond.at[slot].set(new_cond[0])
+        def join_multi(carry, cond, txt_kv, row_arrays, mimi_state, emitted,
+                       jmask, src, new_cond, new_kv, keys, scal):
+            """Admit a GROUP of sessions in ONE dispatch (burst TTFA,
+            VERDICT r3 #2): `jmask` [B] marks slots being replaced, `src`
+            [B] indexes the stacked new rows. The group is padded to B
+            single-row pieces host-side, so every admit — 1 join or a
+            full-burst 8 — shares one compiled shape. Folds the
+            carry/conditioning/KV scatter AND the vocoder-state reset that
+            used to be 2 dispatches per session (16 chained executables for
+            an 8-way burst) into one fused graph."""
+            def sel(old, new):
+                g = jnp.take(new, src, axis=0)
+                m = jmask.reshape((-1,) + (1,) * (old.ndim - 1))
+                return jnp.where(m, g.astype(old.dtype), old)
+
+            cond = sel(cond, new_cond)
             txt_kv = [
                 None if old is None else {
-                    "k": old["k"].at[slot].set(new["k"][0]),
-                    "v": old["v"].at[slot].set(new["v"][0]),
-                    "mask": old["mask"].at[slot].set(new["mask"][0]),
+                    "k": sel(old["k"], new["k"]),
+                    "v": sel(old["v"], new["v"]),
+                    "mask": sel(old["mask"], new["mask"]),
                 }
                 for old, new in zip(txt_kv, new_kv)
             ]
-            carry = M.ARCarry(
-                t=carry.t.at[slot].set(0),
+
+            def zrow(c):
                 # packed resident buffer is [N, B, CTX, D] (axis 1 = rows);
                 # XLA per-block buffers are [B, ctx, D]
-                conv_state=[
-                    c.at[:, slot].set(0.0) if c.ndim == 4
-                    else c.at[slot].set(0.0)
-                    for c in carry.conv_state
-                ],
-                hist=carry.hist.at[slot].set(-1),
-                streak=carry.streak.at[slot].set(0),
-                last=carry.last.at[slot].set(0),
-                key=carry.key.at[slot].set(key),
-                tokens=carry.tokens.at[slot].set(0),
-                first_eos=carry.first_eos.at[slot].set(carry.tokens.shape[1]),
-                stopped=carry.stopped.at[slot].set(False),
+                m = (jmask[None, :, None, None] if c.ndim == 4
+                     else jmask.reshape((-1,) + (1,) * (c.ndim - 1)))
+                return jnp.where(m, jnp.zeros_like(c), c)
+
+            carry = M.ARCarry(
+                t=jnp.where(jmask, 0, carry.t),
+                conv_state=[zrow(c) for c in carry.conv_state],
+                hist=jnp.where(jmask[:, None], -1, carry.hist),
+                streak=jnp.where(jmask, 0, carry.streak),
+                last=jnp.where(jmask, 0, carry.last),
+                key=sel(carry.key, keys),
+                tokens=jnp.where(jmask[:, None], 0, carry.tokens),
+                first_eos=jnp.where(
+                    jmask, carry.tokens.shape[1], carry.first_eos
+                ),
+                stopped=jnp.where(jmask, False, carry.stopped),
             )
             row_arrays = {
-                "top_p": row_arrays["top_p"].at[slot].set(top_p),
-                "temp": row_arrays["temp"].at[slot].set(temp),
-                "rtp": row_arrays["rtp"].at[slot].set(rtp),
-                "rtemp": row_arrays["rtemp"].at[slot].set(rtemp),
-                "min_gen": row_arrays["min_gen"].at[slot].set(min_gen),
-                "max_frames": row_arrays["max_frames"].at[slot].set(max_f),
+                name: jnp.where(
+                    jmask, scal[name].astype(row_arrays[name].dtype),
+                    row_arrays[name],
+                )
+                for name in row_arrays
             }
-            return carry, cond, txt_kv, row_arrays
+            mimi_state = reset_stream_rows(mimi_state, jmask)
+            emitted = jnp.where(jmask, 0, emitted)
+            return carry, cond, txt_kv, row_arrays, mimi_state, emitted
 
-        self._join = jax.jit(join)
+        self._join = jax.jit(join_multi)
 
         def tick(params, mp, carry, cond, txt_kv, row, mimi_state, emitted,
                  res_static=None, voc_slabs=None, *, cf, W):
@@ -496,11 +514,6 @@ class ContinuousBatcher:
                 cf=self.ramp, W=self.ramp + self.nar_ctx
             )
         )
-        self._reset_rows = jax.jit(
-            lambda st, em, rows: (reset_stream_rows(st, rows),
-                                  jnp.where(rows, 0, em))
-        )
-
     # ------------------------------------------------------------- lifecycle
 
     def start(self):
@@ -684,7 +697,10 @@ class ContinuousBatcher:
                 else self.max_frames_cap
             ),
             "min_gen": int(min_gen_frames or self.cfg.min_gen_frames),
-            "seed": int(seed),
+            # same per-row key derivation as init_ar_carry(batch=1), so a
+            # solo scheduled session reproduces the streaming driver;
+            # derived HERE (submitter thread) so admit stays dispatch-only
+            "key": jax.random.split(jax.random.PRNGKey(int(seed)), 1)[0],
         }
         self._waiting.put(req)
         self._wake.set()
@@ -694,34 +710,73 @@ class ContinuousBatcher:
     # -------------------------------------------------------------- internals
 
     def _admit(self):
-        """Fill free slots from the waiting queue (scheduler thread only)."""
+        """Fill free slots from the waiting queue (scheduler thread only).
+        All waiting sessions that fit join in ONE fused dispatch — an 8-way
+        burst used to chain 16 small executables (join + vocoder reset per
+        session), which dominated TTFA under simultaneous load."""
         while True:
             free = [i for i, s in enumerate(self._slots) if s is None]
             if not free or self._waiting.empty():
                 return
-            req = self._waiting.get()
-            if req["handle"].cancelled:
-                req["handle"].out.put(None)
+            group = []
+            while len(group) < len(free) and not self._waiting.empty():
+                req = self._waiting.get()
+                if req["handle"].cancelled:
+                    req["handle"].out.put(None)
+                    continue
+                group.append(req)
+            if not group:
                 continue
-            slot = free[0]
+            slots = free[: len(group)]
             try:
-                new_cond, new_kv = req["prepped"]
+                # pad the group to exactly B single-row pieces (repeat the
+                # first) so the stacked shapes — and the fused join graph —
+                # are identical for every admit
+                pieces = group + [group[0]] * (self.B - len(group))
+                new_cond = jnp.concatenate(
+                    [r["prepped"][0] for r in pieces], axis=0
+                )
+                new_kv = [
+                    None if kv0 is None else {
+                        k: jnp.concatenate(
+                            [r["prepped"][1][a][k] for r in pieces], axis=0
+                        )
+                        for k in ("k", "v", "mask")
+                    }
+                    for a, kv0 in enumerate(group[0]["prepped"][1])
+                ]
+                keys = jnp.stack([r["key"] for r in pieces])
+                jmask = np.zeros((self.B,), bool)
+                src = np.zeros((self.B,), np.int32)
+                for i, slot in enumerate(slots):
+                    jmask[slot] = True
+                    src[slot] = i
+                scal = {
+                    "top_p": jnp.asarray(
+                        [r["top_p"] for r in pieces], jnp.float32),
+                    "temp": jnp.asarray(
+                        [r["temperature"] for r in pieces], jnp.float32),
+                    "rtp": jnp.asarray(
+                        [r["rtp"] for r in pieces], jnp.float32),
+                    "rtemp": jnp.asarray(
+                        [r["rtemp"] for r in pieces], jnp.float32),
+                    "min_gen": jnp.asarray(
+                        [r["min_gen"] for r in pieces], jnp.int32),
+                    "max_frames": jnp.asarray(
+                        [r["max_frames"] for r in pieces], jnp.int32),
+                }
                 row = {
                     "top_p": self.row_top_p, "temp": self.row_temp,
                     "rtp": self.row_rtp, "rtemp": self.row_rtemp,
                     "min_gen": self.row_min_gen,
                     "max_frames": self.row_max_frames,
                 }
-                # same per-row key derivation as init_ar_carry(batch=1), so a
-                # solo scheduled session reproduces the streaming driver
-                row_key = jax.random.split(jax.random.PRNGKey(req["seed"]), 1)[0]
-                self.carry, self.cond, self.txt_kv, row = self._join(
+                (self.carry, self.cond, self.txt_kv, row, self.mimi_state,
+                 self.emitted) = self._join(
                     self.carry, self.cond, self.txt_kv, row,
-                    jnp.int32(slot), new_cond, new_kv,
-                    row_key,
-                    jnp.float32(req["top_p"]), jnp.float32(req["temperature"]),
-                    jnp.float32(req["rtp"]), jnp.float32(req["rtemp"]),
-                    jnp.int32(req["min_gen"]), jnp.int32(req["max_frames"]),
+                    self.mimi_state, self.emitted,
+                    jnp.asarray(jmask), jnp.asarray(src),
+                    new_cond, new_kv, keys, scal,
                 )
                 self.row_top_p = row["top_p"]
                 self.row_temp = row["temp"]
@@ -729,16 +784,14 @@ class ContinuousBatcher:
                 self.row_rtemp = row["rtemp"]
                 self.row_min_gen = row["min_gen"]
                 self.row_max_frames = row["max_frames"]
-                self.mimi_state, self.emitted = self._reset_rows(
-                    self.mimi_state, self.emitted,
-                    jnp.asarray(np.arange(self.B) == slot),
-                )
-                self._slots[slot] = _Slot(
-                    handle=req["handle"], max_frames=req["max_frames"]
-                )
-            except BaseException as e:  # deliver the failure to the caller
-                req["handle"].error = e
-                req["handle"].out.put(None)
+                for req, slot in zip(group, slots):
+                    self._slots[slot] = _Slot(
+                        handle=req["handle"], max_frames=req["max_frames"]
+                    )
+            except BaseException as e:  # deliver the failure to the callers
+                for req in group:
+                    req["handle"].error = e
+                    req["handle"].out.put(None)
 
     def _run(self):
         # software-pipelined tick loop: tick N+1 is dispatched (async — the

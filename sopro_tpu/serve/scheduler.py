@@ -155,6 +155,7 @@ class _Slot:
     emitted: int = 0
     max_frames: int = 400
     ramped: bool = False  # a ramp tick has been dispatched for this row
+    last_t: int = 0  # decode cursor from the last processed tick (host view)
 
 
 class ContinuousBatcher:
@@ -194,6 +195,11 @@ class ContinuousBatcher:
         self.B = int(slots)
         self.cf = int(chunk_frames)
         self.ramp = max(1, min(int(ramp_frames), self.cf))
+        # hard bound on ramp-induced stream latency per session: ramp ticks
+        # are skipped while any established row's decode cursor is more than
+        # this many frames ahead of its emissions (backlog added by ramp
+        # ticks never drains for live rows — see _dispatch_tick)
+        self.ramp_backlog_cap = 2 * self.cf
         self.L = int(text_bucket)
         self.S = int(max_frames) + 1
         self.max_frames_cap = int(max_frames)
@@ -845,11 +851,23 @@ class ContinuousBatcher:
         # a short tick so its TTFA is one small tick, not a full one. The
         # `ramped` flag (host-side) keeps the pipelined loop from dispatching
         # a second ramp tick before the first one's readback lands.
+        # Every ramp tick permanently adds `ramp` frames of stream latency
+        # to every ESTABLISHED row (full ticks advance t by cf and emit at
+        # most cf, so live backlog never drains) — the backlog cap bounds
+        # that to ~2 chunks per session lifetime: once a co-resident's
+        # decode cursor runs that far ahead of its emissions, joins fall
+        # back to waiting one full tick.
         fresh = [
             s for s in self._slots
             if s is not None and s.emitted == 0 and not s.ramped
         ]
-        use_ramp = self._tick_ramp is not self._tick and bool(fresh)
+        backlog_ok = all(
+            s.last_t - s.emitted <= self.ramp_backlog_cap
+            for s in self._slots if s is not None and s.emitted > 0
+        )
+        use_ramp = (
+            self._tick_ramp is not self._tick and bool(fresh) and backlog_ok
+        )
         for s in fresh:
             s.ramped = True
         fn = self._tick_ramp if use_ramp else self._tick
@@ -882,6 +900,11 @@ class ContinuousBatcher:
         t, first_eos, stopped, n_new = (
             info[0], info[1], info[2].astype(bool), info[3],
         )
+
+        for i, s in enumerate(snap):
+            if s is None or self._slots[i] is not s:
+                continue
+            s.last_t = int(t[i])  # host view of the decode cursor (ramp cap)
 
         for i, s in enumerate(snap):
             if s is None or s.handle.cancelled or n_new[i] <= 0:

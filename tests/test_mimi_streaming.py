@@ -190,3 +190,40 @@ def test_stream_step_jit_stable(small_mimi, rng):
     np.testing.assert_allclose(
         np.concatenate(outs, axis=1), full, rtol=1e-5, atol=1e-5
     )
+
+
+def test_encode_audio_bucketed(small_mimi):
+    """Engine.encode_audio keys its jit on the ref bucket, not the exact
+    sample count (VERDICT r3 weak #4): every Mimi encoder stage is causal,
+    so right-padding to the bucket grid and truncating to the exact frame
+    count is exact — two different-length references share ONE ~80M-param
+    encoder compilation."""
+    from sopro_tpu.codec.mimi_jax import mimi_encode
+    from sopro_tpu.config import RuntimeConfig, SoproTTSConfig
+    from sopro_tpu.engine import Engine
+    from sopro_tpu.models.sopro import init_sopro_model
+
+    from tests.test_model_parity import CFG
+
+    params_m, cfg = small_mimi
+    tts_cfg = SoproTTSConfig(**CFG)
+    rt = RuntimeConfig(text_buckets=(16,), ref_buckets=(16,),
+                       nar_pad_multiple=8)
+    eng = Engine(
+        init_sopro_model(jax.random.PRNGKey(0), tts_cfg, text_vocab_size=50),
+        tts_cfg, params_m, cfg, rt,
+    )
+
+    g = np.random.default_rng(0)
+    hop = int(cfg.hop_length)
+    for t_frames in (5, 7):  # both land in the 16-frame bucket
+        wav = g.standard_normal(t_frames * hop).astype(np.float32) * 0.3
+        got = eng.encode_audio(wav)
+        exact = np.asarray(mimi_encode(
+            eng.mimi_params, cfg, jnp.asarray(wav, jnp.float32)[None]
+        )[0])
+        assert got.shape == exact.shape == (t_frames, cfg.num_quantizers)
+        np.testing.assert_array_equal(got, exact, err_msg=f"t={t_frames}")
+
+    enc_keys = [k for k in eng._fns if k[0] == "mimi_enc"]
+    assert len(enc_keys) == 1, enc_keys

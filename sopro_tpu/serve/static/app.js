@@ -166,16 +166,41 @@ class PCMPlayer {
     scopeAnalyser = this.analyser;
   }
   async _init() {
-    if (!this.ctx.audioWorklet) return; // fallback path stays
-    try {
-      const url = URL.createObjectURL(
-        new Blob([WORKLET_SRC], { type: "text/javascript" }));
-      await this.ctx.audioWorklet.addModule(url);
-      this.node = new AudioWorkletNode(this.ctx, "spro-player",
-                                       { outputChannelCount: [1] });
-      this.node.connect(this.analyser);
-    } catch (e) {
-      this.node = null; // ScriptProcessor-era browsers: buffer-source fallback
+    if (this.ctx.audioWorklet) {
+      try {
+        const url = URL.createObjectURL(
+          new Blob([WORKLET_SRC], { type: "text/javascript" }));
+        await this.ctx.audioWorklet.addModule(url);
+        this.node = new AudioWorkletNode(this.ctx, "spro-player",
+                                         { outputChannelCount: [1] });
+        this.node.connect(this.analyser);
+        return;
+      } catch (e) { this.node = null; }
+    }
+    // ScriptProcessor fallback for browsers without AudioWorklet
+    // (reference: demo/static/app.js:397); same ring-queue semantics,
+    // pulled on the main thread. Last resort: scheduled buffer sources.
+    if (typeof this.ctx.createScriptProcessor === "function") {
+      try {
+        const sp = this.ctx.createScriptProcessor(2048, 0, 1);
+        const queue = [];
+        let offset = 0;
+        sp.onaudioprocess = (e) => {
+          const out = e.outputBuffer.getChannelData(0);
+          let i = 0;
+          while (i < out.length && queue.length) {
+            const cur = queue[0];
+            const n = Math.min(out.length - i, cur.length - offset);
+            out.set(cur.subarray(offset, offset + n), i);
+            i += n;
+            offset += n;
+            if (offset >= cur.length) { queue.shift(); offset = 0; }
+          }
+          for (; i < out.length; i++) out[i] = 0;
+        };
+        sp.connect(this.analyser);
+        this.node = { port: { postMessage: (f32) => queue.push(f32) } };
+      } catch (e) { this.node = null; }
     }
   }
   _resample(int16) {

@@ -225,20 +225,24 @@ class Engine:
         sites that pass resident=True), a PallasARContext (per-step fused
         kernel), or per-layer dict caches (XLA).
 
-        The fused kernels win at small batch (latency-bound); at larger
-        batch the XLA step is compute-bound anyway, so big batches stay on
-        XLA. The resident kernel needs the whole weight set + text KV + cond
-        in VMEM for the call's lifetime — eligibility is a VMEM budget
-        estimate (resident_vmem_bytes), not a fixed text cap: B=1 fits up
-        to the 2048-token bucket, B=8 serving fits at bucket 256. The two
+        The fused kernels win whenever the step is dispatch-bound, which at
+        d_model=384 is every practical batch: even B=32 is ~3 µs of MXU
+        work per step, so the XLA while_loop pays more in per-op HBM round
+        trips than in FLOPs. The resident kernel needs the whole weight set
+        + text KV + cond in VMEM for the call's lifetime — eligibility is a
+        VMEM budget estimate (resident_vmem_bytes), not a fixed batch/text
+        cap: B=1 fits up to the 2048-token bucket, B=8 serving fits at
+        bucket 256, B=32 offline batches fit at bucket 128. The two
         toggles are independent: use_pallas_resident selects the whole-loop
         kernel for eligible calls even with use_pallas_ar=False."""
         kvs = G.build_text_kv_caches(params["ar"], self.cfg, txt_seq, text_mask)
         b, l = int(txt_seq.shape[0]), int(txt_seq.shape[1])
+        from sopro_tpu.ops.pallas_ar_loop import LANES
+
         resident_ok = (
             resident
             and self.use_pallas_resident
-            and b <= 8
+            and b <= LANES
             and self.resident_vmem_bytes(b, l, max_steps)
             <= self.RESIDENT_VMEM_BUDGET
         )
@@ -372,9 +376,10 @@ class Engine:
              bool(pcm16)),
             build,
         )
-        wav = fn(self.params, self.mimi_params, self.mimi_slabs, cond_ar,
-                 tokens_dev, jnp.int32(t))
-        return np.asarray(wav[:, : t * self.mimi_cfg.hop_length])
+        wav = np.asarray(fn(self.params, self.mimi_params, self.mimi_slabs,
+                            cond_ar, tokens_dev, jnp.int32(t)))
+        wav = wav[:, : t * self.mimi_cfg.hop_length]
+        return wav if pcm16 else wav.astype(np.float32)
 
     # -- NAR + vocoder -----------------------------------------------------
 
@@ -437,12 +442,19 @@ class Engine:
     def batch_synth_graph(
         self, params, mp, slabs, ids, mask, ref, strength, keys, top_p,
         temp, min_gen, *, max_frames: int, anti_loop: bool,
-        use_slabs: bool,
+        use_slabs: bool, resident: bool = True,
     ):
         """The traced body of the batched pipeline — batched conditioning +
-        per-row AR while_loop + one batched NAR + vocoder — shared by
+        per-row AR decode + one batched NAR + vocoder — shared by
         `synthesize_batch_dispatch` and bench.py's on-chip batch probe.
+        The AR stage runs the whole-loop VMEM-resident kernel when the
+        working set fits (one pallas_call for all rows and all steps —
+        token-identical to the XLA while_loop by the shared-sampler
+        contract); `resident=False` keeps the XLA per-step loop (required
+        under a GSPMD mesh, which cannot partition a pallas_call).
         Returns (wav [B, (max_frames+1)*hop], lengths [B])."""
+        from sopro_tpu.ops.pallas_ar_loop import ResidentLoopContext
+
         s = int(max_frames) + 1
         prep = M.prepare_conditioning(
             params, self.cfg, ids, mask, ref,
@@ -454,23 +466,30 @@ class Engine:
             recovery_temp=jnp.float32(1.2),
             min_gen_frames=min_gen, anti_loop=anti_loop,
         )
-        kv = self._ar_kv(params, prep["txt_seq"], mask)
+        kv = self._ar_kv(
+            params, prep["txt_seq"], mask, resident=resident, max_steps=s
+        )
         carry = M.init_ar_carry(
             self.cfg, ids.shape[0], s, keys[0], self.dtype
         )
         carry = carry._replace(key=keys)
         carry = M.maybe_pack_carry(carry, kv)
 
-        def cond_fn(c):
-            return jnp.any(M.ar_row_active(c, s))
+        if isinstance(kv, ResidentLoopContext):
+            carry = M.ar_resident_chunk(
+                self.cfg, carry, prep["cond_ar"], kv, settings, s
+            )
+        else:
+            def cond_fn(c):
+                return jnp.any(M.ar_row_active(c, s))
 
-        carry = jax.lax.while_loop(
-            cond_fn,
-            lambda c: M.ar_single_step(
-                params, self.cfg, c, prep["cond_ar"], kv, settings
-            ),
-            carry,
-        )
+            carry = jax.lax.while_loop(
+                cond_fn,
+                lambda c: M.ar_single_step(
+                    params, self.cfg, c, prep["cond_ar"], kv, settings
+                ),
+                carry,
+            )
         lengths = jnp.minimum(carry.first_eos, carry.t)  # [B]
         frame_mask = jnp.arange(s)[None, :] < lengths[:, None]
         toks = M.nar_refine(
@@ -622,10 +641,15 @@ class Engine:
     def synthesize_batch_read(self, packed_dev):
         """Force the readback of a dispatched batch: the per-row generated
         length rides in the last column of the waveform buffer (single
-        packed transfer)."""
+        packed transfer). The transfer stays in compute dtype (half-size
+        under bfloat16); the host cast below honors the documented float32
+        contract for non-pcm16 callers."""
         flat = np.asarray(packed_dev)
         lengths = flat[:, -1].astype(np.int64)
-        return flat[:, :-1], lengths
+        wav = flat[:, :-1]
+        if wav.dtype != np.int16:
+            wav = wav.astype(np.float32)
+        return wav, lengths
 
     def synthesize_batch_dispatch(
         self,
@@ -672,7 +696,7 @@ class Engine:
                     params, mp, slabs, ids, mask, ref, strength, keys,
                     top_p, temp, min_gen,
                     max_frames=max_frames, anti_loop=anti_loop,
-                    use_slabs=use_slabs,
+                    use_slabs=use_slabs, resident=mesh is None,
                 )
                 if pcm16:
                     wav = jnp.round(
@@ -860,7 +884,9 @@ class Engine:
                 rvq = jax.lax.dynamic_slice_in_dim(toks_pad, start, w, axis=1)
                 orig = (emitted + cf - w) + jnp.arange(w)
                 mask = ((orig >= 0) & (orig < valid))[None]
-                toks = M.nar_refine(params, self.cfg, win, rvq, mask=mask)
+                toks = M.nar_refine(
+                    params, self.cfg, win, rvq, mask=mask, head_tail=cf
+                )
                 wav, mstate = mimi_decode_step(
                     mp, self.mimi_cfg, toks[:, w - cf :], mstate, slabs=slabs
                 )

@@ -88,9 +88,16 @@ def nar_forward_stage(
     cond: jnp.ndarray,
     prev_emb: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    head_tail: Optional[int] = None,
 ) -> jnp.ndarray:
     """One refinement stage → logits [B, T, n_heads, codebook_size]
-    (reference: src/sopro/nn/nar.py:89-116)."""
+    (reference: src/sopro/nn/nar.py:89-116).
+
+    `head_tail`: evaluate the head einsum only on the LAST `head_tail`
+    frames (logits [B, head_tail, H, V]). The trunk still runs the full
+    window (non-causal convs need it); only the per-frame head matmul +
+    logits materialization shrink. Used by the streaming/serving tick,
+    which emits exactly the window's tail."""
     stages = cfg.stage_order()
     sid = stages.index(stage)
 
@@ -108,6 +115,8 @@ def nar_forward_stage(
         )
     x = rmsnorm(p["norm"], x)
     z = linear(p["pre"], x)  # [B, T, head_dim]
+    if head_tail is not None:
+        z = z[:, -int(head_tail):]
 
     # fused heads: stack per-head weights -> one einsum
     hid = p["head_id_emb"][stage]["emb"]  # [n_heads, head_dim]
@@ -127,11 +136,18 @@ def nar_refine(
     cond_seq: jnp.ndarray,
     rvq1_bt: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    head_tail: Optional[int] = None,
 ) -> jnp.ndarray:
     """Fill codebooks 2..Q given codebook-1 tokens: 4 sequential stage passes
     with greedy argmax (reference: src/sopro/model.py:307-347).
 
     cond_seq [B, T, D]; rvq1_bt [B, T] → tokens [B, T, Q].
+
+    `head_tail`: only the FINAL stage's heads run, and only on the last
+    `head_tail` frames — every earlier stage still refines the full window
+    because its argmax tokens feed the next stage's trunk input. Outside
+    the tail, the final stage's codebooks stay zero: callers that pass
+    head_tail (the streaming/serving tick) consume ONLY tokens[:, -tail:].
     """
     from sopro_tpu.ops.embeddings import cb_sum_embed_subset
 
@@ -145,16 +161,25 @@ def nar_refine(
     prev_tokens = rvq1_bt[..., None]  # [B, T, K_so_far]
     prev_cbs: List[int] = [0]
 
-    for stage in cfg.stage_order():
+    stages = cfg.stage_order()
+    for stage in stages:
         idxs = stage_idx[stage]
+        last = stage == stages[-1]
         prev_emb = cb_sum_embed_subset(
             cb_embed_params, cb_spec, prev_tokens, prev_cbs,
             cb_weights=nar_prev_cb_weights,
         )
-        logits = nar_forward_stage(p, cfg, stage, cond_seq, prev_emb, mask=mask)
-        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T, H]
-        out = out.at[:, :, jnp.asarray(idxs)].set(preds)
-        prev_tokens = jnp.concatenate([prev_tokens, preds], axis=-1)
-        prev_cbs = prev_cbs + list(idxs)
+        logits = nar_forward_stage(
+            p, cfg, stage, cond_seq, prev_emb, mask=mask,
+            head_tail=head_tail if last else None,
+        )
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T', H]
+        if last and head_tail is not None:
+            out = out.at[:, t - int(head_tail):, jnp.asarray(idxs)].set(preds)
+        else:
+            out = out.at[:, :, jnp.asarray(idxs)].set(preds)
+        if not last:
+            prev_tokens = jnp.concatenate([prev_tokens, preds], axis=-1)
+            prev_cbs = prev_cbs + list(idxs)
 
     return out

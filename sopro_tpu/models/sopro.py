@@ -474,6 +474,7 @@ def nar_refine(
     cond_seq: jnp.ndarray,
     rvq1_bt: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    head_tail: Optional[int] = None,
 ) -> jnp.ndarray:
     """(reference: src/sopro/model.py:307-347)"""
     return N.nar_refine(
@@ -485,4 +486,5 @@ def nar_refine(
         cond_seq,
         rvq1_bt,
         mask=mask,
+        head_tail=head_tail,
     )

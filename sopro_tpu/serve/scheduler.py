@@ -474,7 +474,12 @@ class ContinuousBatcher:
             rvq = jax.vmap(row_slice)(toks_pad, start)
             orig = (emitted[:, None] + cf - W) + jnp.arange(W)[None]
             mask = (orig >= 0) & (orig < valid[:, None])
-            tokens_w = M.nar_refine(params, cfgm, win, rvq, mask=mask)
+            # head_tail: only the emitted tail needs final-stage heads —
+            # the [B, W, 16, V] stage-E logits (~100 MB/tick at B=8)
+            # shrink to the cf frames the vocoder consumes
+            tokens_w = M.nar_refine(
+                params, cfgm, win, rvq, mask=mask, head_tail=cf
+            )
 
             chunk = tokens_w[:, W - cf:]  # frames [emitted, emitted+cf)
             rows_emit = n_new > 0

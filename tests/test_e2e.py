@@ -273,6 +273,69 @@ def test_synthesize_batch_dp_sharded(pair, rng):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_batch_synth_resident_matches_xla(pair, rng):
+    """The offline batch path routes AR through the whole-loop VMEM-resident
+    kernel when it fits (VERDICT r3 #6 — the XLA per-step while_loop was the
+    batch-32 MFU sink). The shared-sampler contract makes the two paths
+    token-identical, so batch_synth_graph must return the same lengths and
+    waveforms either way (interpret-mode kernel on CPU)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from sopro_tpu.config import pick_bucket
+
+    _, tts = pair
+    eng = tts.engine
+    ref_tokens = rng.integers(
+        0, CFG["codebook_size"], size=(10, CFG["num_codebooks"])
+    )
+    pref = eng.prepare_reference(ref_tokens.astype(np.int32))
+
+    texts = ["alpha one", "beta two", "gamma three", "delta four"]
+    rows = [tts.encode_text(t) for t in texts]
+    lb = pick_bucket(max(len(r) for r in rows), RT.text_buckets)
+    ids = np.zeros((4, lb), np.int32)
+    mask = np.zeros((4, lb), bool)
+    for i, r in enumerate(rows):
+        ids[i, : len(r)] = r
+        mask[i, : len(r)] = True
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    ref4 = jax.tree.map(
+        lambda x: (jnp.broadcast_to(x, (4,) + x.shape[1:])
+                   if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == 1
+                   else x),
+        pref,
+    )
+    keys = jax.vmap(
+        lambda k: jax.random.split(k, 1)[0]
+    )(jnp.stack([jax.random.PRNGKey(s) for s in (7, 8, 9, 10)]))
+
+    def run(resident):
+        old = eng.use_pallas_resident
+        eng.use_pallas_resident = resident
+        try:
+            fn = jax.jit(functools.partial(
+                eng.batch_synth_graph,
+                max_frames=CFG["max_frames"], anti_loop=True,
+                use_slabs=False, resident=resident,
+            ))
+            wav, lengths = fn(
+                eng.params, eng.mimi_params, None, ids, mask, ref4,
+                jnp.float32(1.0), keys, jnp.float32(0.9),
+                jnp.float32(1.05), jnp.int32(tts.cfg.min_gen_frames),
+            )
+            return np.asarray(wav), np.asarray(lengths)
+        finally:
+            eng.use_pallas_resident = old
+
+    wav_x, len_x = run(False)
+    wav_r, len_r = run(True)
+    np.testing.assert_array_equal(len_r, len_x)
+    np.testing.assert_allclose(wav_r, wav_x, rtol=1e-5, atol=1e-6)
+
+
 def test_style_strength_sweep(pair, rng):
     """BASELINE config 3: style_strength scales the speaker FiLM modulation.
     The reference zero-inits the FiLM output layer (src/sopro/nn/speaker.py:

@@ -256,3 +256,24 @@ def test_nar_refine_parity(ref_model, jcfg, jparams, rng):
         jparams, jcfg, jnp.asarray(cond_p), jnp.asarray(rvq1_p), mask=jnp.asarray(mask)
     )
     np.testing.assert_array_equal(np.asarray(out_p[:, :T]), np.asarray(out))
+
+
+def test_nar_refine_head_tail(jcfg, jparams, rng):
+    """head_tail=k evaluates the final stage's heads only on the last k
+    frames (the slice the streaming/serving tick emits). Those frames'
+    tokens must equal the full computation's — the trunk still sees the
+    whole window, only the head einsum is sliced."""
+    T, k = 14, 4
+    cond = jnp.asarray(
+        rng.standard_normal((2, T, jcfg.d_model)).astype(np.float32)
+    )
+    rvq1 = jnp.asarray(rng.integers(0, 32, size=(2, T)))
+    full = np.asarray(M.nar_refine(jparams, jcfg, cond, rvq1))
+    tail = np.asarray(
+        M.nar_refine(jparams, jcfg, cond, rvq1, head_tail=k)
+    )
+    np.testing.assert_array_equal(tail[:, -k:], full[:, -k:])
+    # pre-final-stage codebooks are still refined over the whole window
+    final = jcfg.stage_indices()[jcfg.stage_order()[-1]]
+    pre = [i for i in range(jcfg.num_codebooks) if i not in final]
+    np.testing.assert_array_equal(tail[:, :, pre], full[:, :, pre])

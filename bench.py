@@ -214,9 +214,18 @@ def main() -> None:
         audio_s32 = 32 * bf / fps
         onchip_batch32_x = audio_s32 / max(b_ms, 1e-9)
 
-        # achieved FLOP/s of the batch-32 graph (XLA's post-compile count)
-        # against the chip's bf16 peak -> MFU (VERDICT r2 #4)
+        # achieved FLOP/s of the batch-32 graph against the chip's bf16
+        # peak -> MFU (VERDICT r2 #4). XLA's post-compile count misses the
+        # Mosaic stages (custom calls count as zero flops) and the XLA AR
+        # fallback (while bodies count once, not x trip count), so the
+        # numerator restores that work analytically with the same counting
+        # conventions — see profiling.ar_loop_flops/seanet_decoder_flops
+        # and docs/kernels.md ("Where batch-32 time goes").
         try:
+            from sopro_tpu.profiling import (
+                ar_loop_flops, seanet_decoder_flops,
+            )
+
             comp = b1.lower(
                 eng.params, eng.mimi_params,
                 eng.mimi_slabs if use_slabs else None, ref32, jnp.int32(0)
@@ -225,6 +234,15 @@ def main() -> None:
             if isinstance(ca, list):
                 ca = ca[0]
             flops = float(ca.get("flops", 0.0))
+            s32 = bf + 1
+            ar_total = ar_loop_flops(tts.cfg, 32, lb, s32)
+            if eng.resident_eligible(32, lb, s32):
+                flops += ar_total  # kernel = custom call: counted as 0
+            else:
+                # XLA while_loop: body counted once of s32 trips
+                flops += ar_total * (s32 - 1) / s32
+            if use_slabs:
+                flops += seanet_decoder_flops(eng.mimi_cfg, 32, 2 * s32)
             kind = jax.devices()[0].device_kind.lower()
             peak = (
                 197e12 if "v5 lite" in kind or "v5e" in kind

@@ -216,6 +216,21 @@ class Engine:
 
     RESIDENT_VMEM_BUDGET = 90 * 1024 * 1024  # vs the 110 MB compiler limit
 
+    def resident_eligible(self, b: int, l: int, max_steps: int) -> bool:
+        """True when an AR decode at batch `b`, text bucket `l`, `max_steps`
+        steps will run the whole-loop VMEM-resident kernel (used by callers
+        that must know which path a graph takes — e.g. bench.py's MFU
+        accounting adds the kernel's flops back, since XLA's cost_analysis
+        reports zero for Mosaic custom calls)."""
+        from sopro_tpu.ops.pallas_ar_loop import LANES
+
+        return (
+            self.use_pallas_resident
+            and b <= LANES
+            and self.resident_vmem_bytes(b, l, max_steps)
+            <= self.RESIDENT_VMEM_BUDGET
+        )
+
     def _ar_kv(
         self, params, txt_seq, text_mask, resident: bool = False,
         max_steps: int = 401,
@@ -237,15 +252,7 @@ class Engine:
         kernel for eligible calls even with use_pallas_ar=False."""
         kvs = G.build_text_kv_caches(params["ar"], self.cfg, txt_seq, text_mask)
         b, l = int(txt_seq.shape[0]), int(txt_seq.shape[1])
-        from sopro_tpu.ops.pallas_ar_loop import LANES
-
-        resident_ok = (
-            resident
-            and self.use_pallas_resident
-            and b <= LANES
-            and self.resident_vmem_bytes(b, l, max_steps)
-            <= self.RESIDENT_VMEM_BUDGET
-        )
+        resident_ok = resident and self.resident_eligible(b, l, max_steps)
         per_step_ok = self.use_pallas_ar and b <= 2
         if not (resident_ok or per_step_ok):
             return kvs

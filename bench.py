@@ -91,7 +91,7 @@ def main() -> None:
     # This environment attaches the TPU over a tunnel whose dispatch +
     # readback latency dominates single-stream wall times. The rep trick —
     # run the full fused pipeline N times inside ONE dispatch, difference
-    # N=1 vs N=3 — isolates pure device time, i.e. what the framework costs
+    # N=1 vs N=9 — isolates pure device time, i.e. what the framework costs
     # on locally-attached hardware.
     onchip_ms = None
     if os.environ.get("SOPRO_BENCH_ONCHIP", "1") != "0":
@@ -118,22 +118,23 @@ def main() -> None:
             )
             return jnp.sum(wav[:, ::4096]).astype(jnp.float32)
 
-        def rep(n):
+        # ONE compiled graph with a DYNAMIC rep count (fori_loop over the
+        # fused pipeline): halves compile time vs two static-unroll graphs,
+        # and lets the N=1 vs N=9 difference amortize tunnel-RTT noise over
+        # 8 reps instead of 2 — the round-4 "regression" of this metric
+        # (11.0 -> 13.5 ms) was within the old (t3-t1)/2 scheme's noise
+        # floor (+-2.5 ms RTT swing => +-1.25 ms per endpoint).
+        @jax.jit
+        def rep_run(params, mp, slabs, ref_arg, seed0, n):
             # params ride as jit ARGUMENTS (closing over them would bake
             # them into the HLO as constants)
-            @jax.jit
-            def run(params, mp, slabs, ref_arg, seed0):
-                def it(i, acc):
-                    return acc + synth_body(params, mp, slabs, ref_arg,
-                                            seed0 + i)
+            def it(i, acc):
+                return acc + synth_body(params, mp, slabs, ref_arg,
+                                        seed0 + i)
 
-                return lax.fori_loop(0, n, it, jnp.float32(0.0))
+            return lax.fori_loop(0, n, it, jnp.float32(0.0))
 
-            return run
-
-        r1, r3 = rep(1), rep(3)
-
-        def tmin(fn, n=3, warm=1):
+        def tsamples(fn, n=5, warm=1):
             for _ in range(warm):
                 jax.block_until_ready(fn())
             out = []
@@ -141,13 +142,25 @@ def main() -> None:
                 t0 = time.perf_counter()
                 jax.block_until_ready(fn())
                 out.append(time.perf_counter() - t0)
-            return min(out)
+            return out
 
-        t1 = tmin(lambda: r1(eng.params, eng.mimi_params, eng.mimi_slabs,
-                             ref, jnp.int32(0)))
-        t3 = tmin(lambda: r3(eng.params, eng.mimi_params, eng.mimi_slabs,
-                             ref, jnp.int32(0)))
-        onchip_ms = (t3 - t1) / 2.0 * 1000.0
+        def tmin(fn, n=5, warm=1):
+            return min(tsamples(fn, n=n, warm=warm))
+
+        REPS = 9
+        s1 = tsamples(lambda: rep_run(eng.params, eng.mimi_params,
+                                      eng.mimi_slabs, ref, jnp.int32(0),
+                                      jnp.int32(1)))
+        s9 = tsamples(lambda: rep_run(eng.params, eng.mimi_params,
+                                      eng.mimi_slabs, ref, jnp.int32(0),
+                                      jnp.int32(REPS)))
+        onchip_ms = (min(s9) - min(s1)) / (REPS - 1) * 1000.0
+        onchip_ms_med = (
+            (statistics.median(s9) - statistics.median(s1))
+            / (REPS - 1) * 1000.0
+        )
+        # relative spread of the samples: how trustworthy is this run
+        onchip_spread_pct = 100.0 * (max(s9) - min(s9)) / max(min(s9), 1e-9)
 
     # ---- on-chip batch-32 aggregate (link-free batch throughput) ----------
     onchip_batch32_x = mfu_batch32_pct = None
@@ -192,25 +205,25 @@ def main() -> None:
                 jnp.float32
             )
 
-        def brep(n):
-            @jax.jit
-            def run(params, mp, slabs, ref_arg, seed0):
-                def it(i, acc):
-                    return acc + batch_body(params, mp, slabs, ref_arg,
-                                            seed0 + 100 * i)
+        @jax.jit
+        def brep_run(params, mp, slabs, ref_arg, seed0, n):
+            def it(i, acc):
+                return acc + batch_body(params, mp, slabs, ref_arg,
+                                        seed0 + 100 * i)
 
-                return lax.fori_loop(0, n, it, jnp.float32(0.0))
+            return lax.fori_loop(0, n, it, jnp.float32(0.0))
 
-            return run
-
-        b1, b3 = brep(1), brep(3)
-        bt1 = tmin(lambda: b1(eng.params, eng.mimi_params,
-                              eng.mimi_slabs if use_slabs else None,
-                              ref32, jnp.int32(0)))
-        bt3 = tmin(lambda: b3(eng.params, eng.mimi_params,
-                              eng.mimi_slabs if use_slabs else None,
-                              ref32, jnp.int32(0)))
-        b_ms = (bt3 - bt1) / 2.0
+        BREPS = 5
+        bs1 = tsamples(lambda: brep_run(eng.params, eng.mimi_params,
+                                        eng.mimi_slabs if use_slabs else None,
+                                        ref32, jnp.int32(0), jnp.int32(1)))
+        bs5 = tsamples(lambda: brep_run(eng.params, eng.mimi_params,
+                                        eng.mimi_slabs if use_slabs else None,
+                                        ref32, jnp.int32(0),
+                                        jnp.int32(BREPS)))
+        bt1, bt5 = min(bs1), min(bs5)
+        b_ms = (bt5 - bt1) / (BREPS - 1)
+        batch32_spread_pct = 100.0 * (max(bs5) - min(bs5)) / max(bt5, 1e-9)
         audio_s32 = 32 * bf / fps
         onchip_batch32_x = audio_s32 / max(b_ms, 1e-9)
 
@@ -226,9 +239,10 @@ def main() -> None:
                 ar_loop_flops, seanet_decoder_flops,
             )
 
-            comp = b1.lower(
+            comp = brep_run.lower(
                 eng.params, eng.mimi_params,
-                eng.mimi_slabs if use_slabs else None, ref32, jnp.int32(0)
+                eng.mimi_slabs if use_slabs else None, ref32, jnp.int32(0),
+                jnp.int32(1),
             ).compile()
             ca = comp.cost_analysis()
             if isinstance(ca, list):
@@ -279,6 +293,7 @@ def main() -> None:
     # separate extra because the remote tunnel's bandwidth swings several-x
     # between runs and the best trial is closer to the framework's own cost.
     serve_x = serve_best_x = serve_ttfa_ms = tick_dev = None
+    serve_ttfa_split = None
     if os.environ.get("SOPRO_BENCH_SERVE", "1") != "0":
         import threading
 
@@ -308,8 +323,15 @@ def main() -> None:
         trials = [serve_trial(t) for t in range(3)]
         serve_x = statistics.median(trials)
         serve_best_x = max(trials)
-        # TTFA under 8-way concurrent load (scheduler-tracked, last 100)
-        serve_ttfa_ms = batcher.stats().get("ttfa_p50_ms")
+        # TTFA under 8-way concurrent load (scheduler-tracked, last 100),
+        # plus its decomposition (prep | queue | admit->tick | tick->chunk)
+        _st = batcher.stats()
+        serve_ttfa_ms = _st.get("ttfa_p50_ms")
+        serve_ttfa_split = {
+            k: _st.get(k)
+            for k in ("ttfa_prep_p50_ms", "ttfa_queue_p50_ms",
+                      "ttfa_admit_tick_p50_ms", "ttfa_tick_chunk_p50_ms")
+        }
         # pure DEVICE cost of one 8-row serving tick (rep trick, net of the
         # tunnel) — the scheduler loop is idle here, all sessions drained
         try:
@@ -362,6 +384,9 @@ def main() -> None:
                 round(serve_best_x, 1) if serve_best_x else None
             ),
             "serve8_ttfa_p50_ms": serve_ttfa_ms,
+            "serve8_ttfa_split_ms": (
+                serve_ttfa_split if serve_x is not None else None
+            ),
             "serve8_tick_device_ms": (
                 round(tick_dev["tick_device_ms"], 2) if tick_dev else None
             ),
@@ -386,6 +411,16 @@ def main() -> None:
             "onchip_synth_ms": (
                 round(onchip_ms, 1) if onchip_ms is not None else None
             ),
+            "onchip_synth_ms_med": (
+                round(onchip_ms_med, 1) if onchip_ms is not None else None
+            ),
+            "onchip_synth_spread_pct": (
+                round(onchip_spread_pct, 1) if onchip_ms is not None else None
+            ),
+            "batch32_onchip_spread_pct": (
+                round(batch32_spread_pct, 1)
+                if onchip_batch32_x is not None else None
+            ),
             "onchip_batch32_x_realtime": (
                 round(onchip_batch32_x, 1)
                 if onchip_batch32_x is not None else None
@@ -400,7 +435,70 @@ def main() -> None:
             "first_run_incl_compile_s": round(compile_s, 1),
         },
     }
+    _compare_prev(result)  # stderr only; stdout stays the one JSON line
     print(json.dumps(result))
+
+
+# metrics compared against the previous round's driver artifact; True =
+# higher is better
+_GUARDED = {
+    "ar_frames_per_s": True,
+    "serve8_aggregate_x_realtime": True,
+    "serve8_onchip_x_realtime": True,
+    "batch32_aggregate_x_realtime": True,
+    "onchip_batch32_x_realtime": True,
+    "mfu_batch32_pct": True,
+    "ttfa_p50_ms": False,
+    "serve8_ttfa_p50_ms": False,
+    "serve8_tick_device_ms": False,
+    "onchip_synth_ms": False,
+    "onchip_rtf": False,
+}
+
+
+def _compare_prev(result, threshold_pct: float = 10.0) -> None:
+    """Regression guard (VERDICT r4 #1): diff this run's extras against the
+    newest BENCH_r*.json in the repo and print any >= threshold move — in
+    either direction — to stderr, so a regression is visible at bench time
+    instead of one round later."""
+    import glob
+    import os
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not files:
+        return
+    try:
+        with open(files[-1]) as f:
+            prev = json.load(f)
+        pex = prev.get("parsed", prev).get("extras", {})
+        prev_rtf = prev.get("parsed", prev).get("value")
+    except Exception as e:  # the guard must never break the bench
+        print(f"[bench] no previous-artifact comparison ({e})",
+              file=sys.stderr)
+        return
+    name = os.path.basename(files[-1])
+    ex = result["extras"]
+    lines = []
+    pairs = [("RTF", prev_rtf, result["value"], False)] + [
+        (k, pex.get(k), ex.get(k), hi) for k, hi in _GUARDED.items()
+    ]
+    for k, old, new, hi in pairs:
+        if not isinstance(old, (int, float)) or not isinstance(
+            new, (int, float)
+        ) or old == 0:
+            continue
+        pct = 100.0 * (new - old) / abs(old)
+        worse = pct < 0 if hi else pct > 0
+        if abs(pct) >= threshold_pct:
+            tag = "REGRESSION" if worse else "improved"
+            lines.append(f"{k} {old} -> {new} ({pct:+.1f}%, {tag})")
+    if lines:
+        print(f"[bench] vs {name}: " + "; ".join(lines), file=sys.stderr)
+    else:
+        print(f"[bench] vs {name}: all guarded metrics within "
+              f"{threshold_pct:.0f}%", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -113,6 +113,10 @@ def _transformer(sd: SD, prefix: str, cfg: MimiConfig) -> Dict[str, Any]:
 
 
 def _codebook_embed(sd: SD, name: str, eps: float = 1e-5) -> Array:
+    if f"{name}.initialized" in sd:
+        # EMA bookkeeping flag, not a weight — read it so coverage manifests
+        # (hub.TrackedStateDict) see it as intentionally consumed
+        sd[f"{name}.initialized"]
     usage = np.clip(sd[f"{name}.cluster_usage"], eps, None)
     return sd[f"{name}.embed_sum"] / usage[:, None]
 

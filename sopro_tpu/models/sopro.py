@@ -151,6 +151,11 @@ def prepare_conditioning(
     txt_seq, txt_pool = TXT.text_encoder(p["text_enc"], cfg, text_ids, text_mask)
 
     tar = int(max_frames) + 1
+    if tar > cfg.pos_emb_max + 8:
+        raise ValueError(
+            f"max_frames={max_frames} needs a positional table of {tar} "
+            f"rows but cfg.pos_emb_max={cfg.pos_emb_max}; raise pos_emb_max"
+        )
     pos = _frame_pos_table(cfg.d_model, cfg.pos_emb_max + 8)[:tar]
     base = txt_pool[:, None, :] + pos[None].astype(txt_pool.dtype)
     cond = SPK.speaker_film(p["spk_film"], base, ref.sv_ref, strength=style_strength)

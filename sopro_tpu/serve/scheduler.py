@@ -132,6 +132,13 @@ class SessionHandle:
     )
     error: Optional[BaseException] = None
     created_s: float = field(default_factory=time.perf_counter)
+    # TTFA decomposition (all perf_counter stamps; VERDICT r4 #2):
+    # created -> prep_done (conditioning dispatched on the submitter thread)
+    # -> admitted (slot scattered in) -> first_tick (first tick carrying
+    # this row dispatched) -> first_chunk (audio handed to the client)
+    prep_done_s: Optional[float] = None
+    admitted_s: Optional[float] = None
+    first_tick_s: Optional[float] = None
     first_chunk_s: Optional[float] = None
     frames: int = 0
     cancelled: bool = False
@@ -277,6 +284,11 @@ class ContinuousBatcher:
         self.sessions_done = 0
         self.total_audio_s = 0.0
         self._ttfa_ms: List[float] = []  # last 100 sessions
+        # TTFA decomposition, same last-100 window (VERDICT r4 #2)
+        self._ttfa_prep_ms: List[float] = []
+        self._ttfa_queue_ms: List[float] = []  # prep done -> admitted
+        self._ttfa_admit_tick_ms: List[float] = []  # admitted -> first tick
+        self._ttfa_tick_chunk_ms: List[float] = []  # first tick -> chunk out
         self._dispatch_ms: List[float] = []  # last 100 ticks: jit call wall
         self._read_ms: List[float] = []  # last 100 ticks: packed readback
 
@@ -692,6 +704,7 @@ class ContinuousBatcher:
                 else self.cfg.style_strength
             ),
         )
+        handle.prep_done_s = time.perf_counter()
         req = {
             "handle": handle,
             "prepped": prepped,
@@ -795,7 +808,9 @@ class ContinuousBatcher:
                 self.row_rtemp = row["rtemp"]
                 self.row_min_gen = row["min_gen"]
                 self.row_max_frames = row["max_frames"]
+                now = time.perf_counter()
                 for req, slot in zip(group, slots):
+                    req["handle"].admitted_s = now
                     self._slots[slot] = _Slot(
                         handle=req["handle"], max_frames=req["max_frames"]
                     )
@@ -883,8 +898,12 @@ class ContinuousBatcher:
             self.txt_kv, row, self.mimi_state, self.emitted,
             self._res_static,
         )
-        self._dispatch_ms.append((time.perf_counter() - t0) * 1000.0)
+        now = time.perf_counter()
+        self._dispatch_ms.append((now - t0) * 1000.0)
         del self._dispatch_ms[:-100]
+        for s in self._slots:
+            if s is not None and s.handle.first_tick_s is None:
+                s.handle.first_tick_s = now
         self.ticks += 1
         if use_ramp:
             self.ramp_ticks += 1
@@ -916,9 +935,21 @@ class ContinuousBatcher:
                 continue
             s.handle.out.put(wav[i : i + 1, : int(n_new[i]) * self.hop].copy())
             if s.handle.first_chunk_s is None:
-                s.handle.first_chunk_s = (
-                    time.perf_counter() - s.handle.created_s
-                )
+                h = s.handle
+                now = time.perf_counter()
+                h.first_chunk_s = now - h.created_s
+                # TTFA split: prep | queue-wait | admit->tick | tick->chunk
+                stamps = (h.created_s, h.prep_done_s, h.admitted_s,
+                          h.first_tick_s, now)
+                if all(x is not None for x in stamps):
+                    for lst, a, b in (
+                        (self._ttfa_prep_ms, stamps[0], stamps[1]),
+                        (self._ttfa_queue_ms, stamps[1], stamps[2]),
+                        (self._ttfa_admit_tick_ms, stamps[2], stamps[3]),
+                        (self._ttfa_tick_chunk_ms, stamps[3], stamps[4]),
+                    ):
+                        lst.append(max(b - a, 0.0) * 1000.0)
+                        del lst[:-100]
             s.emitted += int(n_new[i])
             s.handle.frames = s.emitted
 
@@ -954,6 +985,13 @@ class ContinuousBatcher:
             "sessions_done": self.sessions_done,
             "total_audio_s": round(self.total_audio_s, 2),
             "ttfa_p50_ms": _p50(self._ttfa_ms),
+            # where the first chunk's latency went (p50 over last 100):
+            # submit->prep dispatched | prep->admitted | admitted->first
+            # tick dispatched | first tick->chunk delivered
+            "ttfa_prep_p50_ms": _p50(self._ttfa_prep_ms),
+            "ttfa_queue_p50_ms": _p50(self._ttfa_queue_ms),
+            "ttfa_admit_tick_p50_ms": _p50(self._ttfa_admit_tick_ms),
+            "ttfa_tick_chunk_p50_ms": _p50(self._ttfa_tick_chunk_ms),
             "tick_dispatch_ms_p50": _p50(self._dispatch_ms),
             "tick_read_ms_p50": _p50(self._read_ms),
         }

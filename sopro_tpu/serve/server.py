@@ -137,12 +137,16 @@ class ServerConfig:
         # ramp-sized tick instead of a full chunk tick (TTFA under load)
         self.ramp_frames = int(os.environ.get("SOPRO_RAMP_FRAMES", "4"))
         self.slots = int(os.environ.get("SOPRO_SLOTS", "8"))
-        # serving-side generation cap: the scheduler's frame bucket. The
-        # reference honors request max_frames up to 2000
-        # (demo/server.py:217-220); set SOPRO_MAX_FRAMES=2000 to match.
-        # Requests above the cap get the effective value back in the
-        # X-Sopro-Max-Frames response header — never a silent truncation.
-        self.max_frames = int(os.environ.get("SOPRO_MAX_FRAMES", "400"))
+        # serving-side generation cap: the scheduler's frame bucket.
+        # Default 2000 matches the reference's effective contract — request
+        # max_frames is clamped to <=2000 and honored
+        # (demo/server.py:217-220). The scheduler state scales fine (cond
+        # buffer 8x2001x384 bf16 ~= 12 MB; per-tick cost is S-independent
+        # apart from the window slicing); set SOPRO_MAX_FRAMES lower to trim
+        # warmup/compile time. Requests above the cap get the effective
+        # value back in the X-Sopro-Max-Frames response header — never a
+        # silent truncation.
+        self.max_frames = int(os.environ.get("SOPRO_MAX_FRAMES", "2000"))
         self.random_init = os.environ.get("SOPRO_RANDOM_INIT", "") not in ("", "0")
         self.default_ref_seconds = float(
             os.environ.get("SOPRO_REF_SECONDS", "12.0")

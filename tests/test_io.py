@@ -82,6 +82,58 @@ def test_save_checkpoint_loads_in_reference(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_converter_full_coverage():
+    """Every tensor in a full reference `state_dict()` is consumed by the
+    converter — a from-scratch name-mapper must not silently drop a weight
+    (worse failure mode than the reference's strict=False load,
+    reference: src/sopro/model.py:446)."""
+    TR.import_ref()
+    import torch
+    from sopro.config import SoproTTSConfig as RefCfg
+    from sopro.model import SoproTTSModel
+
+    torch.manual_seed(7)
+    m = SoproTTSModel(RefCfg(**CFG), _FakeTok()).eval()
+    flat = H.TrackedStateDict(
+        {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    )
+    H.sopro_params_from_flat(flat, SoproTTSConfig(**CFG))
+    assert flat.unconsumed() == []
+
+
+def test_checkpoint_load_flags_extra_and_missing(tmp_path):
+    """A corrupted tensor name is LOUD: the missing tensor aborts the load
+    naming it; an extra tensor warns (or raises with on_unconsumed='raise')."""
+    TR.import_ref()
+    import json
+    import torch
+    from sopro.config import SoproTTSConfig as RefCfg
+    from sopro.model import SoproTTSModel
+
+    torch.manual_seed(9)
+    m = SoproTTSModel(RefCfg(**CFG), _FakeTok()).eval()
+    flat = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    meta = {"cfg": json.dumps(CFG)}
+
+    # extra tensor -> warning by default, error when asked to be strict
+    extra = dict(flat)
+    extra["bogus.extra_weight"] = np.zeros((3,), np.float32)
+    p1 = str(tmp_path / "extra.safetensors")
+    H.write_safetensors(p1, extra, metadata=meta)
+    with pytest.warns(UserWarning, match="bogus.extra_weight"):
+        H.load_sopro_checkpoint(p1)
+    with pytest.raises(RuntimeError, match="not consumed"):
+        H.load_sopro_checkpoint(p1, on_unconsumed="raise")
+
+    # renamed (i.e. missing) tensor -> refuses the partial load, names it
+    renamed = dict(flat)
+    renamed["ar.head.weight_TYPO"] = renamed.pop("ar.head.weight")
+    p2 = str(tmp_path / "renamed.safetensors")
+    H.write_safetensors(p2, renamed, metadata=meta)
+    with pytest.raises(RuntimeError, match="ar.head.weight"):
+        H.load_sopro_checkpoint(p2)
+
+
 def test_metadata_reader(tmp_path):
     H.write_safetensors(
         str(tmp_path / "m.safetensors"),

@@ -79,6 +79,15 @@ def main(argv=None) -> int:
         if not args.quiet:
             print(msg, file=sys.stderr)
 
+    # validate reference args BEFORE the (slow) model build — fail fast
+    ref_tokens = None
+    if args.ref_tokens:
+        ref_tokens = np.load(args.ref_tokens).astype(np.int32)
+    if (ref_tokens is None) == (args.ref_audio is None):
+        print("error: provide exactly one of --ref_audio / --ref_tokens",
+              file=sys.stderr)
+        return 2
+
     timer = Timer()
     with timer.section("load"):
         if args.random_init:
@@ -89,14 +98,6 @@ def main(argv=None) -> int:
                 token=args.token,
             )
     log(f"model loaded in {timer.sections['load']:.1f}s")
-
-    ref_tokens = None
-    if args.ref_tokens:
-        ref_tokens = np.load(args.ref_tokens).astype(np.int32)
-    if (ref_tokens is None) == (args.ref_audio is None):
-        print("error: provide exactly one of --ref_audio / --ref_tokens",
-              file=sys.stderr)
-        return 2
 
     with timer.section("reference"):
         ref = tts.prepare_reference(

@@ -38,7 +38,14 @@ def small_mimi():
     return params, cfg
 
 
-@pytest.mark.parametrize("chunks", [[1] * 12, [3, 3, 3, 3], [2, 5, 1, 4], [12]])
+@pytest.mark.parametrize("chunks", [
+    # one compile-light case stays in the quick lane; the other chunkings
+    # exercise the same state threading and ride the slow lane
+    pytest.param([1] * 12, marks=pytest.mark.slow),
+    [3, 3, 3, 3],
+    pytest.param([2, 5, 1, 4], marks=pytest.mark.slow),
+    pytest.param([12], marks=pytest.mark.slow),
+])
 def test_stream_matches_full(small_mimi, rng, chunks):
     params, cfg = small_mimi
     T = sum(chunks)
@@ -60,6 +67,7 @@ def test_stream_matches_full(small_mimi, rng, chunks):
     np.testing.assert_allclose(streamed, full, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # 10 chained step compiles: ~22 s, slow lane
 def test_stream_long_past_sliding_window(small_mimi, rng):
     """More transformer tokens than the sliding window (2T > W): the ring KV
     must keep producing outputs identical to the full decode."""
@@ -80,6 +88,7 @@ def test_stream_long_past_sliding_window(small_mimi, rng):
     )
 
 
+@pytest.mark.slow  # ~43 s of per-step compiles, slow lane
 def test_stream_transformer_exact_vs_full(small_mimi, rng):
     """Directly stress the ring KV: streamed transformer activations must
     match the full-sequence sliding-window transformer tightly (the waveform-

@@ -117,8 +117,11 @@ def mimi_convt(p: Params, x: jnp.ndarray, spec: Dict[str, Any]) -> jnp.ndarray:
     MimiConvTranspose1d)."""
     k, stride = int(spec["k"]), int(spec["stride"])
     groups = int(spec.get("groups", 1))
+    cin, cout = int(spec["in"]), int(spec["out"])
     if groups == 1 and stride > 1 and k == 2 * stride:
         y = _convt_polyphase(p["w"], x, stride)
+    elif groups == cin == cout and stride > 1 and k == 2 * stride:
+        y = _convt_polyphase_depthwise(p["w"], x, stride)
     else:
         y = _conv_nhc(x, p["w"], stride=1, lhs_dilation=stride,
                       pad=(k - 1, k - 1), groups=groups)
@@ -146,6 +149,31 @@ def _convt_polyphase(w: jnp.ndarray, x: jnp.ndarray, s: int) -> jnp.ndarray:
     xx = jnp.concatenate([xprev, x], axis=-1)  # [B, T, 2*C_in]
     y = jnp.einsum("btc,cd->btd", xx, w2)
     return y.reshape(b, t * s, cout)
+
+
+def _convt_polyphase_depthwise(
+    w: jnp.ndarray, x: jnp.ndarray, s: int
+) -> jnp.ndarray:
+    """Fully-depthwise (groups == C) k=2s transpose conv as elementwise
+    multiply-adds — the same polyphase identity as `_convt_polyphase` with a
+    per-channel (diagonal) weight, so each output phase is
+
+        y[m*s + r, c] = w[s-1-r, c] * x[m-1, c]  +  w[2s-1-r, c] * x[m, c]
+
+    Mimi's 12.5->25 Hz upsampler (k=4, s=2, groups=hidden=512) otherwise
+    takes the lhs-dilated *grouped* conv path, which XLA on TPU lowers far
+    off the MXU; two VPU fmas replace it exactly."""
+    k, _one, c = w.shape  # grouped HIO: [k, 1, C]
+    r = jnp.arange(s)
+    w_prev = w[s - 1 - r, 0].astype(x.dtype)      # [s, C] multiplies x[m-1]
+    w_curr = w[2 * s - 1 - r, 0].astype(x.dtype)  # [s, C] multiplies x[m]
+    b, t, _ = x.shape
+    xprev = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :t]
+    y = (
+        xprev[:, :, None, :] * w_prev[None, None]
+        + x[:, :, None, :] * w_curr[None, None]
+    )  # [B, T, s, C]
+    return y.reshape(b, t * s, c)
 
 
 def _elu(x: jnp.ndarray) -> jnp.ndarray:
@@ -255,8 +283,11 @@ def transformer_layer(
     else:
         k, v = kv_override
     scale = 1.0 / math.sqrt(cfg.head_dim)
+    # bf16 MXU passes with fp32 accumulation: for bf16 inputs this is
+    # bit-identical to casting q/k to fp32 first (bf16 products are exact in
+    # fp32) but skips the fp32 Q/K copies and the fp32 matmul lowering
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
     logits = logits + bias[None, None]
     w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
@@ -291,17 +322,21 @@ def rvq_decode(q: Params, codes_btq: jnp.ndarray) -> jnp.ndarray:
 
     Uses the load-time-folded tables `dec_embed` [Q, V, hidden] (each
     codebook's centroids premultiplied by its split's output projection), so
-    dequantization is a single gather + sum over Q — equivalent to HF
-    MimiSplitResidualVectorQuantizer.decode."""
+    dequantization is Q per-codebook gathers accumulated in place —
+    equivalent to HF MimiSplitResidualVectorQuantizer.decode. One flattened
+    [B, T, Q]-index gather + sum materializes a [B, T, Q, H] intermediate
+    (158 MB bf16 at the batch-32 decode shape) through HBM; the unrolled
+    per-codebook form measures 2x faster on v5e (2.56 -> 1.29 ms,
+    benchmarks/probe_gather.py)."""
     nq = codes_btq.shape[-1]
     dec = q["dec_embed"][:nq]  # [Q, V, H]
     # clamp defensively: an out-of-vocab id (e.g. a leaked EOS) must degrade
     # gracefully, not poison the stream state with NaN fill values
     codes = jnp.clip(codes_btq, 0, dec.shape[1] - 1)
-    offs = jnp.arange(nq, dtype=codes.dtype) * dec.shape[1]
-    flat = dec.reshape(-1, dec.shape[-1])
-    emb = jnp.take(flat, codes + offs[None, None, :], axis=0)  # [B,T,Q,H]
-    return jnp.sum(emb, axis=2)
+    out = jnp.take(dec[0], codes[:, :, 0], axis=0)
+    for i in range(1, nq):
+        out = out + jnp.take(dec[i], codes[:, :, i], axis=0)
+    return out
 
 
 def _nearest_code(embed_vd: jnp.ndarray, x_btd: jnp.ndarray) -> jnp.ndarray:

@@ -108,6 +108,8 @@ def stream_convt(
     groups = int(spec.get("groups", 1))
     n = x.shape[1]
     ov = k - stride
+    cin = int(spec.get("in", 0))
+    cout = int(spec.get("out", 0))
     if groups == 1 and stride > 1 and k == 2 * stride:
         from sopro_tpu.codec.mimi_jax import _convt_polyphase
 
@@ -116,6 +118,13 @@ def stream_convt(
         new_carry = jnp.einsum(
             "bc,scd->bsd", x[:, -1], w_prev.astype(x.dtype)
         )  # [B, k-s, C_out]
+    elif groups == cin == cout and stride > 1 and k == 2 * stride:
+        from sopro_tpu.codec.mimi_jax import _convt_polyphase_depthwise
+
+        emit = _convt_polyphase_depthwise(p["w"], x, stride)
+        # depthwise carry: w[s-1-r, 0, c] * x[n-1, c], shape [B, s=k-s, C]
+        w_prev = p["w"][stride - 1 - jnp.arange(stride), 0]  # [s, C]
+        new_carry = x[:, -1, None, :] * w_prev[None].astype(x.dtype)
     else:
         raw = _conv_nhc(x, p["w"], stride=1, lhs_dilation=stride,
                         pad=(k - 1, k - 1), groups=groups)  # [B, n*s+(k-s), C]
@@ -235,10 +244,11 @@ def _stream_transformer(
         new_k.append(_ring_write(k_ring, k[:, :, tail:], slots))
         new_v.append(_ring_write(v_ring, v[:, :, tail:], slots))
 
+        # bf16 MXU with fp32 accumulation == fp32-cast matmul for bf16
+        # inputs (see mimi_jax.transformer_layer), without the fp32 copies
         logits = jnp.einsum(
-            "bhqd,bhkd->bhqk",
-            q.astype(jnp.float32),
-            k_all.astype(jnp.float32),
+            "bhqd,bhkd->bhqk", q, k_all,
+            preferred_element_type=jnp.float32,
         ) * scale + bias[:, None]
         a = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         a = jnp.einsum("bhqk,bhkd->bhqd", a, v_all.astype(x.dtype))

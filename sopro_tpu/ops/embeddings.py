@@ -84,14 +84,23 @@ def cb_sum_embed_subset(
 
     tokens_btk: [B, T, K] tokens for codebooks `cb_indices` (len K).
     cb_weights: [Q] (full) or [K] logits; softmax over the K selected entries.
-    """
-    offs = jnp.asarray([cb * spec.V for cb in cb_indices], jnp.int32)
-    idx = tokens_btk + offs[None, None, :]
-    emb = jnp.take(p["emb"], idx, axis=0)  # [B, T, K, D]
+
+    Accumulates K per-codebook gathers in place instead of one flattened
+    [B, T, K]-index gather: the fused form materializes a [B, T, K, D]
+    intermediate through HBM, which measures 2.7x slower on v5e at the
+    batch-32 NAR shape (0.74 -> 0.27 ms at K=16,
+    benchmarks/probe_nar.py)."""
+    table = p["emb"]
+    w = None
     if cb_weights is not None:
         w = cb_weights
         if w.shape[0] == spec.Q:
             w = w[jnp.asarray(list(cb_indices), jnp.int32)]
-        w = jax.nn.softmax(w.astype(jnp.float32), axis=0).astype(emb.dtype)
-        return jnp.einsum("btkd,k->btd", emb, w)
-    return jnp.sum(emb, axis=2)
+        w = jax.nn.softmax(w.astype(jnp.float32), axis=0).astype(table.dtype)
+    out = None
+    for j, cb in enumerate(cb_indices):
+        g = jnp.take(table, cb * spec.V + tokens_btk[:, :, j], axis=0)
+        if w is not None:
+            g = g * w[j]
+        out = g if out is None else out + g
+    return out

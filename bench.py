@@ -236,7 +236,7 @@ def main() -> None:
         # and docs/kernels.md ("Where batch-32 time goes").
         try:
             from sopro_tpu.profiling import (
-                ar_loop_flops, seanet_decoder_flops,
+                ar_loop_flops, nar_heads_flops, seanet_decoder_flops,
             )
 
             comp = brep_run.lower(
@@ -257,6 +257,10 @@ def main() -> None:
                 flops += ar_total * (s32 - 1) / s32
             if use_slabs:
                 flops += seanet_decoder_flops(eng.mimi_cfg, 32, 2 * s32)
+            if jax.default_backend() == "tpu":
+                # fused heads+argmax kernel (custom call, counted as 0)
+                # replaces the head einsum XLA used to count
+                flops += nar_heads_flops(tts.cfg, 32, s32)
             kind = jax.devices()[0].device_kind.lower()
             peak = (
                 197e12 if "v5 lite" in kind or "v5e" in kind

@@ -81,7 +81,7 @@ def _stage_adapter(p: Params, x: jnp.ndarray, stage_vec: jnp.ndarray) -> jnp.nda
     return x * (1 + jnp.tanh(g))[None, None, :] + jnp.tanh(b)[None, None, :]
 
 
-def nar_forward_stage(
+def _stage_hidden(
     p: Params,
     cfg: SoproTTSConfig,
     stage: str,
@@ -90,14 +90,10 @@ def nar_forward_stage(
     mask: Optional[jnp.ndarray] = None,
     head_tail: Optional[int] = None,
 ) -> jnp.ndarray:
-    """One refinement stage → logits [B, T, n_heads, codebook_size]
-    (reference: src/sopro/nn/nar.py:89-116).
-
-    `head_tail`: evaluate the head einsum only on the LAST `head_tail`
-    frames (logits [B, head_tail, H, V]). The trunk still runs the full
-    window (non-causal convs need it); only the per-frame head matmul +
-    logits materialization shrink. Used by the streaming/serving tick,
-    which emits exactly the window's tail."""
+    """One stage's trunk → pre-head hidden z [B, T', head_dim]
+    (reference: src/sopro/nn/nar.py:89-110). With `head_tail`, only the
+    last `head_tail` frames of z are returned (the trunk still runs the
+    full window — the non-causal convs need it)."""
     stages = cfg.stage_order()
     sid = stages.index(stage)
 
@@ -117,14 +113,68 @@ def nar_forward_stage(
     z = linear(p["pre"], x)  # [B, T, head_dim]
     if head_tail is not None:
         z = z[:, -int(head_tail):]
+    return z
 
-    # fused heads: stack per-head weights -> one einsum
+
+def _stage_head_stacks(p: Params, stage: str):
     hid = p["head_id_emb"][stage]["emb"]  # [n_heads, head_dim]
-    zh = z[:, :, None, :] + hid[None, None, :, :]  # [B, T, H, hd]
     w_stack = jnp.stack([hp["w"] for hp in p["heads"][stage]], axis=0)  # [H, hd, V]
     b_stack = jnp.stack([hp["b"] for hp in p["heads"][stage]], axis=0)  # [H, V]
+    return hid, w_stack, b_stack
+
+
+def nar_forward_stage(
+    p: Params,
+    cfg: SoproTTSConfig,
+    stage: str,
+    cond: jnp.ndarray,
+    prev_emb: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    head_tail: Optional[int] = None,
+) -> jnp.ndarray:
+    """One refinement stage → logits [B, T, n_heads, codebook_size]
+    (reference: src/sopro/nn/nar.py:89-116).
+
+    `head_tail`: evaluate the head einsum only on the LAST `head_tail`
+    frames (logits [B, head_tail, H, V]). The trunk still runs the full
+    window (non-causal convs need it); only the per-frame head matmul +
+    logits materialization shrink. Used by the training objective (which
+    needs logits); the greedy-decode path uses `nar_stage_preds`."""
+    z = _stage_hidden(p, cfg, stage, cond, prev_emb, mask, head_tail)
+    # fused heads: stack per-head weights -> one einsum
+    hid, w_stack, b_stack = _stage_head_stacks(p, stage)
+    zh = z[:, :, None, :] + hid[None, None, :, :]  # [B, T, H, hd]
     logits = jnp.einsum("bthd,hdv->bthv", zh, w_stack) + b_stack[None, None]
     return logits
+
+
+def nar_stage_preds(
+    p: Params,
+    cfg: SoproTTSConfig,
+    stage: str,
+    cond: jnp.ndarray,
+    prev_emb: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    head_tail: Optional[int] = None,
+    use_kernel: Optional[bool] = None,
+) -> jnp.ndarray:
+    """One stage's greedy tokens [B, T', H] int32.
+
+    On TPU the head projection + argmax run as one Pallas kernel
+    (ops/pallas_nar.py) so the [B, T, H, V] logits never reach HBM — only
+    the ids do. Off-TPU (and under `use_kernel=False`) this is the einsum +
+    jnp.argmax path with identical tie-breaking (lowest index)."""
+    z = _stage_hidden(p, cfg, stage, cond, prev_emb, mask, head_tail)
+    hid, w_stack, b_stack = _stage_head_stacks(p, stage)
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        from sopro_tpu.ops.pallas_nar import nar_heads_argmax
+
+        return nar_heads_argmax(z, hid, w_stack, b_stack)
+    zh = z[:, :, None, :] + hid[None, None, :, :]
+    logits = jnp.einsum("bthd,hdv->bthv", zh, w_stack) + b_stack[None, None]
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
 def nar_refine(
@@ -169,11 +219,10 @@ def nar_refine(
             cb_embed_params, cb_spec, prev_tokens, prev_cbs,
             cb_weights=nar_prev_cb_weights,
         )
-        logits = nar_forward_stage(
+        preds = nar_stage_preds(
             p, cfg, stage, cond_seq, prev_emb, mask=mask,
             head_tail=head_tail if last else None,
-        )
-        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T', H]
+        )  # [B, T', H]
         if last and head_tail is not None:
             out = out.at[:, t - int(head_tail):, jnp.asarray(idxs)].set(preds)
         else:

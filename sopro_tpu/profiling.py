@@ -140,6 +140,17 @@ def ar_loop_flops(cfg, batch: int, text_len: int, steps: int) -> float:
     return float(batch) * float(steps) * ar_step_flops(cfg, text_len)
 
 
+def nar_heads_flops(cfg, batch: int, t: int) -> float:
+    """Matmul FLOPs of the NAR stages' head projections — the einsum
+    (z + hid_h) @ W_h over every stage's heads that the fused heads+argmax
+    kernel (ops/pallas_nar.py) replaces. cost_analysis counted this dot as
+    2*B*T*H*hd*V when it ran as XLA; the custom call counts as zero, so
+    bench restores it with the same convention at the NAR frame bucket."""
+    hd, v = int(cfg.nar_head_dim), int(cfg.codebook_size)
+    n_heads = sum(len(ix) for ix in cfg.stage_indices().values())
+    return 2.0 * float(batch) * float(t) * n_heads * hd * v
+
+
 def seanet_decoder_flops(mimi_cfg, batch: int, t25: int) -> float:
     """Algorithmic FLOPs of the SEANet decoder (the stage the fused Pallas
     vocoder replaces) for `batch` rows of `t25` 25 Hz frames, walking the

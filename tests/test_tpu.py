@@ -254,3 +254,36 @@ def test_streaming_vocoder_real_mosaic(rng):
     assert kern.shape == xla.shape
     scale = np.abs(xla).max()
     assert np.abs(kern - xla).max() < 0.02 * scale + 1e-4
+
+
+def test_nar_heads_argmax_real_mosaic(rng):
+    """Fused NAR heads+argmax kernel under the REAL Mosaic lowering vs the
+    XLA einsum+argmax path, at the production stage-E shape in bf16. The
+    kernel rounds its fp32 accumulation to bf16 exactly like the XLA dot,
+    so the ids must agree except on exact bf16 ties (which both paths break
+    toward the lowest index) — require bit equality."""
+    import jax
+    import jax.numpy as jnp
+
+    from sopro_tpu.ops.pallas_nar import nar_heads_argmax
+
+    b, t, h, hd, v = 8, 151, 16, 256, 2048
+    z = jnp.asarray(rng.standard_normal((b, t, hd)), jnp.bfloat16)
+    hid = jnp.asarray(rng.standard_normal((h, hd)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((h, hd, v)) * 0.05, jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((h, v)) * 0.05, jnp.bfloat16)
+
+    got = np.asarray(jax.jit(
+        lambda *a: nar_heads_argmax(*a, interpret=False)
+    )(z, hid, w, bias))
+
+    def xla(z, hid, w, bias):
+        zh = z[:, :, None, :] + hid[None, None, :, :]
+        logits = jnp.einsum("bthd,hdv->bthv", zh, w) + bias[None, None]
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    want = np.asarray(jax.jit(xla)(z, hid, w, bias))
+    assert got.shape == want.shape == (b, t, h)
+    frac = float((got != want).mean())
+    # identical rounding on both paths: allow only a vanishing near-tie tail
+    assert frac <= 1e-3, frac

@@ -178,6 +178,7 @@ class ContinuousBatcher:
         nar_context_frames: Optional[int] = None,
         mesh=None,
         pcm16: bool = False,
+        admit_grace_ms: float = 6.0,
     ):
         """`mesh`: an optional `jax.sharding.Mesh` with a "dp" axis — the
         persistent batched state shards its session axis across the slice,
@@ -193,7 +194,18 @@ class ContinuousBatcher:
         FIFO-serializes whole generations, demo/server.py:56). Ticks of
         different sizes compose because each tick is self-contained: the
         NAR window and vocoder step derive from the per-row `emitted`
-        cursor. Set ramp_frames >= chunk_frames to disable."""
+        cursor. Set ramp_frames >= chunk_frames to disable.
+
+        `admit_grace_ms`: burst coalescing. A simultaneous N-way burst into
+        an IDLE batcher races the scheduler loop — without a grace the first
+        request to land is admitted alone and the other N-1 wait a full
+        ramp-tick readback cycle (~1 tunnel RTT) for the next admit, which
+        dominated the measured TTFA-under-load queue-wait. While every slot
+        is free and the oldest waiting request is younger than the grace,
+        admission is deferred so near-simultaneous joins share ONE fused
+        admit + ramp tick. A solo join pays at most the grace (ms); joins
+        into a busy batcher are unaffected (tick cycles exceed the grace).
+        0 disables."""
         self.tts = tts
         self.eng = tts.engine
         self.cfg = tts.cfg
@@ -207,6 +219,7 @@ class ContinuousBatcher:
         # this many frames ahead of its emissions (backlog added by ramp
         # ticks never drains for live rows — see _dispatch_tick)
         self.ramp_backlog_cap = 2 * self.cf
+        self.admit_grace_s = max(0.0, float(admit_grace_ms)) / 1000.0
         self.L = int(text_bucket)
         self.S = int(max_frames) + 1
         self.max_frames_cap = int(max_frames)
@@ -280,6 +293,7 @@ class ContinuousBatcher:
         self._thread: Optional[threading.Thread] = None
         self.ticks = 0
         self.ramp_ticks = 0
+        self.admit_groups = 0  # fused admit dispatches (burst coalescing)
         # aggregate observability counters (surfaced via /v1/stats)
         self.sessions_done = 0
         self.total_audio_s = 0.0
@@ -725,6 +739,7 @@ class ContinuousBatcher:
             # solo scheduled session reproduces the streaming driver;
             # derived HERE (submitter thread) so admit stays dispatch-only
             "key": jax.random.split(jax.random.PRNGKey(int(seed)), 1)[0],
+            "arrived_s": time.perf_counter(),
         }
         self._waiting.put(req)
         self._wake.set()
@@ -733,15 +748,20 @@ class ContinuousBatcher:
 
     # -------------------------------------------------------------- internals
 
-    def _admit(self):
+    def _admit(self) -> bool:
         """Fill free slots from the waiting queue (scheduler thread only).
         All waiting sessions that fit join in ONE fused dispatch — an 8-way
         burst used to chain 16 small executables (join + vocoder reset per
-        session), which dominated TTFA under simultaneous load."""
+        session), which dominated TTFA under simultaneous load.
+
+        Returns True if admission was DEFERRED under the burst-coalescing
+        grace (idle batcher, partial group, oldest arrival younger than
+        `admit_grace_s`) — the caller should re-poll shortly instead of
+        sleeping the full idle timeout."""
         while True:
             free = [i for i, s in enumerate(self._slots) if s is None]
             if not free or self._waiting.empty():
-                return
+                return False
             group = []
             while len(group) < len(free) and not self._waiting.empty():
                 req = self._waiting.get()
@@ -751,6 +771,16 @@ class ContinuousBatcher:
                 group.append(req)
             if not group:
                 continue
+            if (
+                self.admit_grace_s > 0.0
+                and len(group) < len(free)
+                and len(free) == self.B  # idle: no live rows to perturb
+                and time.perf_counter() - min(r["arrived_s"] for r in group)
+                < self.admit_grace_s
+            ):
+                for req in group:
+                    self._waiting.put(req)
+                return True
             slots = free[: len(group)]
             try:
                 # pad the group to exactly B single-row pieces (repeat the
@@ -809,6 +839,7 @@ class ContinuousBatcher:
                 self.row_min_gen = row["min_gen"]
                 self.row_max_frames = row["max_frames"]
                 now = time.perf_counter()
+                self.admit_groups += 1
                 for req, slot in zip(group, slots):
                     req["handle"].admitted_s = now
                     self._slots[slot] = _Slot(
@@ -827,10 +858,12 @@ class ContinuousBatcher:
         pending = None  # (packed device buffer, slot snapshot) of last tick
         while not self._stop.is_set():
             with self._lock:
-                self._admit()
+                deferred = self._admit()
                 busy = any(s is not None for s in self._slots)
             if not busy and pending is None:
-                self._wake.wait(timeout=0.05)
+                # grace deferral: re-poll at ~1 ms so the coalesced burst
+                # admits as soon as the window closes, not a full idle tick
+                self._wake.wait(timeout=0.001 if deferred else 0.05)
                 self._wake.clear()
                 continue
             try:
@@ -980,6 +1013,7 @@ class ContinuousBatcher:
             "waiting": self._waiting.qsize(),
             "ticks": self.ticks,
             "ramp_ticks": self.ramp_ticks,
+            "admit_groups": self.admit_groups,
             "chunk_frames": self.cf,
             "ramp_frames": self.ramp,
             "sessions_done": self.sessions_done,

@@ -11,8 +11,9 @@ plus scheduler knobs):
   SOPRO_REPO_ID, SOPRO_REVISION, HF_TOKEN, SOPRO_REF_CACHE_DIR,
   SOPRO_CHUNK_SIZE (default 16), SOPRO_RAMP_FRAMES (first-chunk ramp tick,
   default 4; >= chunk size disables), SOPRO_SLOTS (batch slots, default 8),
-  SOPRO_RANDOM_INIT=1 (offline random weights), SOPRO_DEVICE ("cpu" forces
-  the CPU backend).
+  SOPRO_ADMIT_GRACE_MS (burst-coalescing admit window on an idle batcher,
+  default 6; 0 disables), SOPRO_RANDOM_INIT=1 (offline random weights),
+  SOPRO_DEVICE ("cpu" forces the CPU backend).
 """
 
 from __future__ import annotations
@@ -137,6 +138,9 @@ class ServerConfig:
         # ramp-sized tick instead of a full chunk tick (TTFA under load)
         self.ramp_frames = int(os.environ.get("SOPRO_RAMP_FRAMES", "4"))
         self.slots = int(os.environ.get("SOPRO_SLOTS", "8"))
+        # burst coalescing window for joins into an idle batcher (ms);
+        # 0 disables (see ContinuousBatcher.admit_grace_ms)
+        self.admit_grace_ms = float(os.environ.get("SOPRO_ADMIT_GRACE_MS", "6"))
         # serving-side generation cap: the scheduler's frame bucket.
         # Default 2000 matches the reference's effective contract — request
         # max_frames is clamped to <=2000 and honored
@@ -188,6 +192,7 @@ def get_tts():
                 _tts, slots=CFG.slots, chunk_frames=CFG.chunk_size,
                 ramp_frames=CFG.ramp_frames, mesh=mesh,
                 max_frames=CFG.max_frames,
+                admit_grace_ms=CFG.admit_grace_ms,
                 pcm16=True,  # wire protocol is 16-bit; halves tick readback
             )
             _batcher.start()

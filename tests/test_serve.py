@@ -326,6 +326,50 @@ def test_more_sessions_than_slots(tts, batcher):
     assert all(h.first_chunk_s is not None for h in handles)
 
 
+def test_admit_grace_coalesces_idle_burst(tts):
+    """Burst coalescing (round-5): near-simultaneous joins into an IDLE
+    batcher must share ONE fused admit (+ its ramp tick) instead of the
+    first request being admitted alone and the rest waiting a full readback
+    cycle. With a grace window open, admission defers until the group fills
+    every free slot — so a 3-burst into 3 slots is exactly 1 admit group."""
+    b = ContinuousBatcher(
+        tts, slots=3, chunk_frames=4, text_bucket=16,
+        max_frames=CFG["max_frames"], admit_grace_ms=30_000.0,
+    )
+    try:
+        handles = [
+            b.submit(f"burst {i}", _ref(tts, seed=0), seed=40 + i)
+            for i in range(3)
+        ]
+        outs = [list(h.chunks()) for h in handles]
+        for h in handles:
+            if h.error:
+                raise h.error
+        assert b.admit_groups == 1
+        assert all(sum(c.shape[1] for c in o) > 0 for o in outs)
+    finally:
+        b.stop()
+
+
+def test_admit_grace_solo_not_starved(tts):
+    """A solo join must not wait out the grace window forever — the window
+    is bounded by the oldest arrival, so a lone session is admitted after
+    at most the grace and completes normally."""
+    b = ContinuousBatcher(
+        tts, slots=3, chunk_frames=4, text_bucket=16,
+        max_frames=CFG["max_frames"], admit_grace_ms=50.0,
+    )
+    try:
+        h = b.submit("solo grace", _ref(tts, seed=0), seed=7)
+        total = sum(c.shape[1] for c in h.chunks())
+        if h.error:
+            raise h.error
+        assert total > 0
+        assert b.admit_groups == 1
+    finally:
+        b.stop()
+
+
 def test_sessions_join_mid_flight(tts, batcher):
     """A session submitted while others are mid-decode must still match its
     solo output (slot join does not disturb co-residents, and the late row's

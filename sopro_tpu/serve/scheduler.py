@@ -934,6 +934,14 @@ class ContinuousBatcher:
         now = time.perf_counter()
         self._dispatch_ms.append((now - t0) * 1000.0)
         del self._dispatch_ms[:-100]
+        try:
+            # start the device->host copy NOW: by the time the pipelined
+            # loop blocks on np.asarray (after dispatching the NEXT tick)
+            # the transfer has been running since this tick's device work
+            # finished, instead of paying a full link RTT + transfer then
+            packed.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass  # backend without async host copies: asarray pays it
         for s in self._slots:
             if s is not None and s.handle.first_tick_s is None:
                 s.handle.first_tick_s = now

@@ -220,6 +220,10 @@ class ContinuousBatcher:
         # ticks never drains for live rows — see _dispatch_tick)
         self.ramp_backlog_cap = 2 * self.cf
         self.admit_grace_s = max(0.0, float(admit_grace_ms)) / 1000.0
+        # async device->host tick readback (plus its anti-race settle
+        # window) only pays off across a real device link; on the CPU
+        # backend transfers are free and the settle would throttle ticks
+        self._async_copy = jax.default_backend() != "cpu"
         self.L = int(text_bucket)
         self.S = int(max_frames) + 1
         self.max_frames_cap = int(max_frames)
@@ -370,7 +374,7 @@ class ContinuousBatcher:
         self._prep = jax.jit(prep)
 
         def join_multi(carry, cond, txt_kv, row_arrays, mimi_state, emitted,
-                       jmask, src, new_cond, new_kv, keys, scal):
+                       jmask, src, new_cond_parts, new_kv_parts, keys, scal):
             """Admit a GROUP of sessions in ONE dispatch (burst TTFA,
             VERDICT r3 #2): `jmask` [B] marks slots being replaced, `src`
             [B] indexes the stacked new rows. The group is padded to B
@@ -378,7 +382,21 @@ class ContinuousBatcher:
             full-burst 8 — shares one compiled shape. Folds the
             carry/conditioning/KV scatter AND the vocoder-state reset that
             used to be 2 dispatches per session (16 chained executables for
-            an 8-way burst) into one fused graph."""
+            an 8-way burst) into one fused graph. The per-piece cond/KV/key
+            stacking happens HERE, inside the graph — as host-side eager
+            concats it was ~10 small dispatches (~10 ms of admit wall on
+            the tunneled link)."""
+            new_cond = jnp.concatenate(list(new_cond_parts), axis=0)
+            new_kv = [
+                None if kv0 is None else {
+                    k: jnp.concatenate(
+                        [p[a][k] for p in new_kv_parts], axis=0
+                    )
+                    for k in ("k", "v", "mask")
+                }
+                for a, kv0 in enumerate(new_kv_parts[0])
+            ]
+            keys = jnp.stack(list(keys))
             def sel(old, new):
                 g = jnp.take(new, src, axis=0)
                 m = jmask.reshape((-1,) + (1,) * (old.ndim - 1))
@@ -551,6 +569,37 @@ class ContinuousBatcher:
                 cf=self.ramp, W=self.ramp + self.nar_ctx
             )
         )
+
+        def join_tick(params, mp, carry, cond, txt_kv, row_arrays,
+                      mimi_state, emitted, jmask, src, new_cond, new_kv,
+                      keys, scal, res_static=None, voc_slabs=None, *, cf, W):
+            """Fused admit + ramp tick (round 5, TTFA): the join scatter AND
+            the joiners' first ramp-sized tick run as ONE dispatch, so a
+            burst's first audio needs exactly one dispatch + one readback
+            after prep — instead of join dispatch(es), a separate ramp-tick
+            dispatch, and a readback queued behind the next full tick's
+            upload. Numerically identical to join_multi followed by the
+            ramp specialization of `tick` (it IS that composition)."""
+            (carry, cond, txt_kv, row_arrays, mimi_state,
+             emitted) = join_multi(
+                carry, cond, txt_kv, row_arrays, mimi_state, emitted,
+                jmask, src, new_cond, new_kv, keys, scal,
+            )
+            carry, mimi_state, emitted, packed = tick(
+                params, mp, carry, cond, txt_kv, row_arrays, mimi_state,
+                emitted, res_static, voc_slabs, cf=cf, W=W,
+            )
+            return (carry, cond, txt_kv, row_arrays, mimi_state, emitted,
+                    packed)
+
+        self._join_ramp_tick = (
+            None if self.ramp >= self.cf
+            else functools.partial(
+                jax.jit(join_tick, static_argnames=("cf", "W")),
+                voc_slabs=self._voc_slabs,
+                cf=self.ramp, W=self.ramp + self.nar_ctx,
+            )
+        )
     # ------------------------------------------------------------- lifecycle
 
     def start(self):
@@ -574,9 +623,23 @@ class ContinuousBatcher:
                 np.zeros((int(12.0 * self.cfg.mimi_fps), self.cfg.num_codebooks),
                          np.int32)
             )
-        h = self.submit("warmup", ref, max_frames=self.cf, min_gen_frames=1)
-        for _ in h.chunks():
-            pass
+        # pass 1 with the fused admit+ramp disabled: compiles the plain
+        # join + the loop's ramp/full tick graphs (still reachable in
+        # production when an established row hits the backlog cap)
+        fused, self._join_ramp_tick = self._join_ramp_tick, None
+        try:
+            h = self.submit("warmup", ref, max_frames=self.cf,
+                            min_gen_frames=1)
+            for _ in h.chunks():
+                pass
+        finally:
+            self._join_ramp_tick = fused
+        if fused is not None:
+            # pass 2: compiles the fused admit+ramp graph
+            h = self.submit("warmup", ref, max_frames=self.cf,
+                            min_gen_frames=1)
+            for _ in h.chunks():
+                pass
 
     def bench_state(self, ref, text: str = "benchmark tick"):
         """Synthetic full-occupancy tick inputs (every slot live on `text`):
@@ -748,20 +811,25 @@ class ContinuousBatcher:
 
     # -------------------------------------------------------------- internals
 
-    def _admit(self) -> bool:
+    def _admit(self):
         """Fill free slots from the waiting queue (scheduler thread only).
         All waiting sessions that fit join in ONE fused dispatch — an 8-way
         burst used to chain 16 small executables (join + vocoder reset per
-        session), which dominated TTFA under simultaneous load.
+        session), which dominated TTFA under simultaneous load. When ramp
+        ticks are enabled and no established row is backlog-capped, that
+        one dispatch ALSO runs the joiners' first ramp tick (`join_tick`),
+        so the group's first audio is already in flight when this returns.
 
-        Returns True if admission was DEFERRED under the burst-coalescing
-        grace (idle batcher, partial group, oldest arrival younger than
-        `admit_grace_s`) — the caller should re-poll shortly instead of
-        sleeping the full idle timeout."""
+        Returns (deferred, pending): `deferred` is True if admission was
+        put off under the burst-coalescing grace (idle batcher, partial
+        group, oldest arrival younger than `admit_grace_s`) — the caller
+        should re-poll shortly instead of sleeping the full idle timeout.
+        `pending` is a (packed, snapshot, cf) tick from the fused
+        admit+ramp dispatch for the caller to read back, or None."""
         while True:
             free = [i for i, s in enumerate(self._slots) if s is None]
             if not free or self._waiting.empty():
-                return False
+                return False, None
             group = []
             while len(group) < len(free) and not self._waiting.empty():
                 req = self._waiting.get()
@@ -780,44 +848,36 @@ class ContinuousBatcher:
             ):
                 for req in group:
                     self._waiting.put(req)
-                return True
+                return True, None
             slots = free[: len(group)]
             try:
                 # pad the group to exactly B single-row pieces (repeat the
-                # first) so the stacked shapes — and the fused join graph —
-                # are identical for every admit
+                # first) so the piece count — and the fused join graph —
+                # are identical for every admit; the actual stacking runs
+                # inside the jitted join (host numpy / device handles only
+                # here, zero eager device dispatches)
                 pieces = group + [group[0]] * (self.B - len(group))
-                new_cond = jnp.concatenate(
-                    [r["prepped"][0] for r in pieces], axis=0
-                )
-                new_kv = [
-                    None if kv0 is None else {
-                        k: jnp.concatenate(
-                            [r["prepped"][1][a][k] for r in pieces], axis=0
-                        )
-                        for k in ("k", "v", "mask")
-                    }
-                    for a, kv0 in enumerate(group[0]["prepped"][1])
-                ]
-                keys = jnp.stack([r["key"] for r in pieces])
+                new_cond = tuple(r["prepped"][0] for r in pieces)
+                new_kv = tuple(r["prepped"][1] for r in pieces)
+                keys = tuple(r["key"] for r in pieces)
                 jmask = np.zeros((self.B,), bool)
                 src = np.zeros((self.B,), np.int32)
                 for i, slot in enumerate(slots):
                     jmask[slot] = True
                     src[slot] = i
                 scal = {
-                    "top_p": jnp.asarray(
-                        [r["top_p"] for r in pieces], jnp.float32),
-                    "temp": jnp.asarray(
-                        [r["temperature"] for r in pieces], jnp.float32),
-                    "rtp": jnp.asarray(
-                        [r["rtp"] for r in pieces], jnp.float32),
-                    "rtemp": jnp.asarray(
-                        [r["rtemp"] for r in pieces], jnp.float32),
-                    "min_gen": jnp.asarray(
-                        [r["min_gen"] for r in pieces], jnp.int32),
-                    "max_frames": jnp.asarray(
-                        [r["max_frames"] for r in pieces], jnp.int32),
+                    "top_p": np.asarray(
+                        [r["top_p"] for r in pieces], np.float32),
+                    "temp": np.asarray(
+                        [r["temperature"] for r in pieces], np.float32),
+                    "rtp": np.asarray(
+                        [r["rtp"] for r in pieces], np.float32),
+                    "rtemp": np.asarray(
+                        [r["rtemp"] for r in pieces], np.float32),
+                    "min_gen": np.asarray(
+                        [r["min_gen"] for r in pieces], np.int32),
+                    "max_frames": np.asarray(
+                        [r["max_frames"] for r in pieces], np.int32),
                 }
                 row = {
                     "top_p": self.row_top_p, "temp": self.row_temp,
@@ -825,13 +885,42 @@ class ContinuousBatcher:
                     "min_gen": self.row_min_gen,
                     "max_frames": self.row_max_frames,
                 }
-                (self.carry, self.cond, self.txt_kv, row, self.mimi_state,
-                 self.emitted) = self._join(
-                    self.carry, self.cond, self.txt_kv, row,
-                    self.mimi_state, self.emitted,
-                    jnp.asarray(jmask), jnp.asarray(src),
-                    new_cond, new_kv, keys, scal,
+                # fused admit+ramp: one dispatch both joins the group and
+                # runs its first ramp tick — unless ramp ticks are off, or
+                # an established row sits at the backlog cap (then the
+                # plain join runs and the loop's tick logic decides)
+                use_fused = (
+                    self._join_ramp_tick is not None
+                    and all(
+                        s.last_t - s.emitted <= self.ramp_backlog_cap
+                        for s in self._slots
+                        if s is not None and s.emitted > 0
+                    )
                 )
+                packed = None
+                if use_fused:
+                    (self.carry, self.cond, self.txt_kv, row,
+                     self.mimi_state, self.emitted,
+                     packed) = self._join_ramp_tick(
+                        self.eng.params, self.eng.mimi_params,
+                        self.carry, self.cond, self.txt_kv, row,
+                        self.mimi_state, self.emitted,
+                        jmask, src,
+                        new_cond, new_kv, keys, scal, self._res_static,
+                    )
+                    if self._async_copy:
+                        try:
+                            packed.copy_to_host_async()
+                        except (AttributeError, RuntimeError):
+                            pass
+                else:
+                    (self.carry, self.cond, self.txt_kv, row,
+                     self.mimi_state, self.emitted) = self._join(
+                        self.carry, self.cond, self.txt_kv, row,
+                        self.mimi_state, self.emitted,
+                        jmask, src,
+                        new_cond, new_kv, keys, scal,
+                    )
                 self.row_top_p = row["top_p"]
                 self.row_temp = row["temp"]
                 self.row_rtp = row["rtp"]
@@ -844,6 +933,24 @@ class ContinuousBatcher:
                     req["handle"].admitted_s = now
                     self._slots[slot] = _Slot(
                         handle=req["handle"], max_frames=req["max_frames"]
+                    )
+                if packed is not None:
+                    # ramp bookkeeping for the fused tick (mirrors
+                    # _dispatch_tick): a ramp tick emits for EVERY row still
+                    # at emitted==0, so it is the first tick — and spends
+                    # the ramp — of all of them, not just this group
+                    for s in self._slots:
+                        if s is None:
+                            continue
+                        if s.emitted == 0:
+                            s.ramped = True
+                        if s.handle.first_tick_s is None:
+                            s.handle.first_tick_s = now
+                    self.ticks += 1
+                    self.ramp_ticks += 1
+                    return False, (
+                        packed, list(self._slots), self.ramp,
+                        time.perf_counter() if self._async_copy else None,
                     )
             except BaseException as e:  # deliver the failure to the callers
                 for req in group:
@@ -858,7 +965,7 @@ class ContinuousBatcher:
         pending = None  # (packed device buffer, slot snapshot) of last tick
         while not self._stop.is_set():
             with self._lock:
-                deferred = self._admit()
+                deferred, admit_pending = self._admit()
                 busy = any(s is not None for s in self._slots)
             if not busy and pending is None:
                 # grace deferral: re-poll at ~1 ms so the coalesced burst
@@ -867,6 +974,15 @@ class ContinuousBatcher:
                 self._wake.clear()
                 continue
             try:
+                if admit_pending is not None:
+                    # the fused admit+ramp tick carries the joiners' FIRST
+                    # audio: read it before dispatching anything else so the
+                    # readback isn't queued behind the next tick's upload
+                    # (one pipeline bubble, ramp ticks only)
+                    if pending is not None:
+                        self._process_tick(*pending)
+                        pending = None
+                    self._process_tick(*admit_pending)
                 nxt = self._dispatch_tick() if busy else None
                 if pending is not None:
                     self._process_tick(*pending)
@@ -934,27 +1050,40 @@ class ContinuousBatcher:
         now = time.perf_counter()
         self._dispatch_ms.append((now - t0) * 1000.0)
         del self._dispatch_ms[:-100]
-        try:
-            # start the device->host copy NOW: by the time the pipelined
-            # loop blocks on np.asarray (after dispatching the NEXT tick)
-            # the transfer has been running since this tick's device work
-            # finished, instead of paying a full link RTT + transfer then
-            packed.copy_to_host_async()
-        except (AttributeError, RuntimeError):
-            pass  # backend without async host copies: asarray pays it
+        if self._async_copy:
+            try:
+                # start the device->host copy NOW: by the time the pipelined
+                # loop blocks on np.asarray (after dispatching the NEXT
+                # tick) the transfer has been running since this tick's
+                # device work finished, instead of paying a full link RTT +
+                # transfer then. CAUTION: np.asarray racing a just-started
+                # async copy can stall for minutes on the tunneled backend —
+                # _process_tick enforces a small settle window from this
+                # timestamp before reading.
+                packed.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass  # backend without async host copies: asarray pays it
         for s in self._slots:
             if s is not None and s.handle.first_tick_s is None:
                 s.handle.first_tick_s = now
         self.ticks += 1
         if use_ramp:
             self.ramp_ticks += 1
-        return packed, list(self._slots), cf_used
+        return (packed, list(self._slots), cf_used,
+                time.perf_counter() if self._async_copy else None)
 
-    def _process_tick(self, packed, snap, cf_used):
+    def _process_tick(self, packed, snap, cf_used, disp_s=None):
         """Read back a dispatched tick's packed buffer and route its chunks.
         `snap` is the slot list at dispatch time — a slot freed/refilled in
         the meantime must not receive this tick's rows. `cf_used` is the
-        chunk size of THAT tick (full or ramp)."""
+        chunk size of THAT tick (full or ramp). `disp_s` is the dispatch
+        timestamp whose copy_to_host_async we must not race (the tunneled
+        backend stalls for MINUTES if asarray lands while the async copy is
+        still being set up; >=12 ms later it's at worst one link RTT)."""
+        if disp_s is not None:
+            settle = 0.012 - (time.perf_counter() - disp_s)
+            if settle > 0:
+                time.sleep(settle)
         t0 = time.perf_counter()
         flat = np.asarray(packed)  # the ONE device->host transfer per tick
         self._read_ms.append((time.perf_counter() - t0) * 1000.0)

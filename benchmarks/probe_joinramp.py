@@ -40,13 +40,11 @@ def main() -> None:
     ids_p[0, : len(ids)] = ids
     msk = np.zeros((1, b.L), bool)
     msk[0, : len(ids)] = True
-    new1 = b._prep(b.eng.params, jnp.asarray(ids_p), jnp.asarray(msk), ref,
-                   jnp.float32(1.0))
-    new_cond = tuple(new1[0] for _ in range(b.B))
-    new_kv = tuple(new1[1] for _ in range(b.B))
-    keys = tuple(
-        jax.random.split(jax.random.PRNGKey(i), 1)[0] for i in range(b.B)
-    )
+    ids_b = np.concatenate([ids_p] * b.B, axis=0)
+    mask_b = np.concatenate([msk] * b.B, axis=0)
+    ref_parts = tuple(ref for _ in range(b.B))
+    strength_b = np.ones((b.B,), np.float32)
+    seeds_b = np.arange(b.B, dtype=np.int32)
     jmask = np.ones((b.B,), bool)
     src = np.arange(b.B, dtype=np.int32)
     scal = {
@@ -71,8 +69,8 @@ def main() -> None:
               flush=True)
 
     timed("join", lambda: b._join(
-        carry, cond, txt_kv, row, mimi_state, emitted,
-        jmask, src, new_cond, new_kv, keys, scal))
+        b.eng.params, carry, cond, txt_kv, row, mimi_state, emitted,
+        jmask, src, ids_b, mask_b, ref_parts, strength_b, seeds_b, scal))
     timed("ramp_tick", lambda: b._tick_ramp(
         b.eng.params, b.eng.mimi_params, carry, cond, txt_kv, row,
         mimi_state, emitted, b._res_static))
@@ -82,8 +80,8 @@ def main() -> None:
     if b._join_ramp_tick is not None:
         timed("join+ramp", lambda: b._join_ramp_tick(
             b.eng.params, b.eng.mimi_params, carry, cond, txt_kv, row,
-            mimi_state, emitted, jmask, src, new_cond, new_kv, keys, scal,
-            b._res_static))
+            mimi_state, emitted, jmask, src, ids_b, mask_b, ref_parts,
+            strength_b, seeds_b, scal, b._res_static))
 
 
 if __name__ == "__main__":

@@ -373,30 +373,33 @@ class ContinuousBatcher:
 
         self._prep = jax.jit(prep)
 
-        def join_multi(carry, cond, txt_kv, row_arrays, mimi_state, emitted,
-                       jmask, src, new_cond_parts, new_kv_parts, keys, scal):
+        def join_multi(params, carry, cond, txt_kv, row_arrays, mimi_state,
+                       emitted, jmask, src, ids_b, mask_b, ref_parts,
+                       strength_b, seeds_b, scal):
             """Admit a GROUP of sessions in ONE dispatch (burst TTFA,
             VERDICT r3 #2): `jmask` [B] marks slots being replaced, `src`
             [B] indexes the stacked new rows. The group is padded to B
             single-row pieces host-side, so every admit — 1 join or a
-            full-burst 8 — shares one compiled shape. Folds the
-            carry/conditioning/KV scatter AND the vocoder-state reset that
-            used to be 2 dispatches per session (16 chained executables for
-            an 8-way burst) into one fused graph. The per-piece cond/KV/key
-            stacking happens HERE, inside the graph — as host-side eager
-            concats it was ~10 small dispatches (~10 ms of admit wall on
-            the tunneled link)."""
-            new_cond = jnp.concatenate(list(new_cond_parts), axis=0)
-            new_kv = [
-                None if kv0 is None else {
-                    k: jnp.concatenate(
-                        [p[a][k] for p in new_kv_parts], axis=0
-                    )
-                    for k in ("k", "v", "mask")
-                }
-                for a, kv0 in enumerate(new_kv_parts[0])
-            ]
-            keys = jnp.stack(list(keys))
+            full-burst 8 — shares one compiled shape (per ref bucket).
+
+            The group's CONDITIONING runs here too (round 5): `submit` is
+            host-only, and this one graph does batched prep (text encode +
+            speaker FiLM + ref x-attn + text-KV build, per-row style
+            strength) + per-row key derivation + the carry/cond/KV scatter
+            + the vocoder-state reset. On a remote-attached device every
+            dispatch costs a ~30 ms round trip, so the admit path's
+            dispatch COUNT is the latency: it is exactly one."""
+            ref = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *ref_parts
+            )
+            new_cond, new_kv = prep(
+                params, ids_b, mask_b, ref, strength_b[:, None, None]
+            )
+            # same per-row derivation as init_ar_carry(batch=1), so a solo
+            # scheduled session reproduces the streaming driver
+            keys = jax.vmap(
+                lambda s: jax.random.split(jax.random.PRNGKey(s), 1)[0]
+            )(seeds_b)
             def sel(old, new):
                 g = jnp.take(new, src, axis=0)
                 m = jmask.reshape((-1,) + (1,) * (old.ndim - 1))
@@ -571,19 +574,23 @@ class ContinuousBatcher:
         )
 
         def join_tick(params, mp, carry, cond, txt_kv, row_arrays,
-                      mimi_state, emitted, jmask, src, new_cond, new_kv,
-                      keys, scal, res_static=None, voc_slabs=None, *, cf, W):
-            """Fused admit + ramp tick (round 5, TTFA): the join scatter AND
-            the joiners' first ramp-sized tick run as ONE dispatch, so a
-            burst's first audio needs exactly one dispatch + one readback
-            after prep — instead of join dispatch(es), a separate ramp-tick
-            dispatch, and a readback queued behind the next full tick's
-            upload. Numerically identical to join_multi followed by the
-            ramp specialization of `tick` (it IS that composition)."""
+                      mimi_state, emitted, jmask, src, ids_b, mask_b,
+                      ref_parts, strength_b, seeds_b, scal,
+                      res_static=None, voc_slabs=None, *, cf, W):
+            """Fused admit + ramp tick (round 5, TTFA): batched prep, the
+            join scatter, AND the joiners' first ramp-sized tick run as
+            ONE dispatch, so a burst's first audio needs exactly one
+            dispatch + one readback after a host-only submit — instead of
+            per-session prep dispatches, join dispatch(es), a separate
+            ramp-tick dispatch, and a readback queued behind the next full
+            tick's upload. Numerically identical to prep + join_multi
+            followed by the ramp specialization of `tick` (it IS that
+            composition)."""
             (carry, cond, txt_kv, row_arrays, mimi_state,
              emitted) = join_multi(
-                carry, cond, txt_kv, row_arrays, mimi_state, emitted,
-                jmask, src, new_cond, new_kv, keys, scal,
+                params, carry, cond, txt_kv, row_arrays, mimi_state,
+                emitted, jmask, src, ids_b, mask_b, ref_parts, strength_b,
+                seeds_b, scal,
             )
             carry, mimi_state, emitted, packed = tick(
                 params, mp, carry, cond, txt_kv, row_arrays, mimi_state,
@@ -765,26 +772,32 @@ class ContinuousBatcher:
                 f"bucket of {self.L}; shorten the text or raise text_bucket"
             )
         handle = SessionHandle(sid=id(object()))
-        # Conditioning runs HERE, on the submitting thread — jax dispatch is
-        # async, so the device work overlaps live ticks and the scheduler
-        # thread never stalls on a join's prep (or its first-call compile;
-        # warmup() pre-compiles this path). Bad inputs also raise directly
-        # to the caller instead of surfacing post-admit.
+        # submit is HOST-ONLY (round 5): the group's conditioning runs
+        # batched inside the fused admit graph on the scheduler thread, so
+        # a burst's requests hit the waiting queue within microseconds of
+        # each other (the admit grace can then coalesce them into one
+        # dispatch) and nothing here pays a device round trip. Bad text
+        # still raises directly to the caller.
         ids_p = np.zeros((1, self.L), np.int32)
         ids_p[0, : len(ids)] = ids
         mask = np.zeros((1, self.L), bool)
         mask[0, : len(ids)] = True
-        prepped = self._prep(
-            self.eng.params, jnp.asarray(ids_p), jnp.asarray(mask), ref,
-            jnp.float32(
-                style_strength if style_strength is not None
-                else self.cfg.style_strength
-            ),
-        )
         handle.prep_done_s = time.perf_counter()
         req = {
             "handle": handle,
-            "prepped": prepped,
+            "ids": ids_p,
+            "mask": mask,
+            "ref": ref,
+            # ref bucket keys the fused admit graph's compile — a group
+            # must share one signature (mixed buckets admit in waves)
+            "ref_sig": tuple(
+                (tuple(l.shape), str(l.dtype))
+                for l in jax.tree.leaves(ref)
+            ),
+            "strength": float(
+                style_strength if style_strength is not None
+                else self.cfg.style_strength
+            ),
             "top_p": float(top_p),
             "temperature": float(temperature),
             # anti_loop off = recovery params equal normal params: the
@@ -798,10 +811,7 @@ class ContinuousBatcher:
                 else self.max_frames_cap
             ),
             "min_gen": int(min_gen_frames or self.cfg.min_gen_frames),
-            # same per-row key derivation as init_ar_carry(batch=1), so a
-            # solo scheduled session reproduces the streaming driver;
-            # derived HERE (submitter thread) so admit stays dispatch-only
-            "key": jax.random.split(jax.random.PRNGKey(int(seed)), 1)[0],
+            "seed": int(seed),
             "arrived_s": time.perf_counter(),
         }
         self._waiting.put(req)
@@ -830,13 +840,20 @@ class ContinuousBatcher:
             free = [i for i, s in enumerate(self._slots) if s is None]
             if not free or self._waiting.empty():
                 return False, None
-            group = []
+            group, requeue = [], []
             while len(group) < len(free) and not self._waiting.empty():
                 req = self._waiting.get()
                 if req["handle"].cancelled:
                     req["handle"].out.put(None)
                     continue
+                if group and req["ref_sig"] != group[0]["ref_sig"]:
+                    # the fused admit graph is compiled per ref bucket; a
+                    # mixed-bucket burst admits in same-bucket waves
+                    requeue.append(req)
+                    continue
                 group.append(req)
+            for req in requeue:
+                self._waiting.put(req)
             if not group:
                 continue
             if (
@@ -853,13 +870,17 @@ class ContinuousBatcher:
             try:
                 # pad the group to exactly B single-row pieces (repeat the
                 # first) so the piece count — and the fused join graph —
-                # are identical for every admit; the actual stacking runs
-                # inside the jitted join (host numpy / device handles only
-                # here, zero eager device dispatches)
+                # are identical for every admit; stacking AND conditioning
+                # run inside the jitted join (host numpy / device ref
+                # handles only here, zero eager device dispatches)
                 pieces = group + [group[0]] * (self.B - len(group))
-                new_cond = tuple(r["prepped"][0] for r in pieces)
-                new_kv = tuple(r["prepped"][1] for r in pieces)
-                keys = tuple(r["key"] for r in pieces)
+                ids_b = np.concatenate([r["ids"] for r in pieces], axis=0)
+                mask_b = np.concatenate([r["mask"] for r in pieces], axis=0)
+                ref_parts = tuple(r["ref"] for r in pieces)
+                strength_b = np.asarray(
+                    [r["strength"] for r in pieces], np.float32
+                )
+                seeds_b = np.asarray([r["seed"] for r in pieces], np.int32)
                 jmask = np.zeros((self.B,), bool)
                 src = np.zeros((self.B,), np.int32)
                 for i, slot in enumerate(slots):
@@ -905,8 +926,8 @@ class ContinuousBatcher:
                         self.eng.params, self.eng.mimi_params,
                         self.carry, self.cond, self.txt_kv, row,
                         self.mimi_state, self.emitted,
-                        jmask, src,
-                        new_cond, new_kv, keys, scal, self._res_static,
+                        jmask, src, ids_b, mask_b, ref_parts, strength_b,
+                        seeds_b, scal, self._res_static,
                     )
                     if self._async_copy:
                         try:
@@ -916,10 +937,11 @@ class ContinuousBatcher:
                 else:
                     (self.carry, self.cond, self.txt_kv, row,
                      self.mimi_state, self.emitted) = self._join(
+                        self.eng.params,
                         self.carry, self.cond, self.txt_kv, row,
                         self.mimi_state, self.emitted,
-                        jmask, src,
-                        new_cond, new_kv, keys, scal,
+                        jmask, src, ids_b, mask_b, ref_parts, strength_b,
+                        seeds_b, scal,
                     )
                 self.row_top_p = row["top_p"]
                 self.row_temp = row["temp"]

@@ -286,31 +286,33 @@ def test_anti_loop_off_matches_solo(tts, batcher):
     np.testing.assert_allclose(out, solo, rtol=1e-4, atol=1e-5)
 
 
-def test_prep_runs_on_submitter_thread(tts, batcher):
-    """A join must not stall live ticks: conditioning (_prep) runs on the
-    submitting thread, never the scheduler tick thread (VERDICT r2 #5)."""
-    import threading
+def test_submit_is_host_only(tts, batcher):
+    """A join must not stall live ticks. Round 5 moves conditioning INTO
+    the fused admit graph (one dispatch: batched prep + join scatter +
+    first ramp tick), which supersedes the round-2 design of dispatching
+    prep from the submitter thread — `submit` is now host-only: it queues
+    the raw text/ref and returns without any device work, so a burst's
+    requests land in the queue near-simultaneously and coalesce into one
+    fused dispatch."""
+    captured = []
+    orig_put = batcher._waiting.put
 
-    calls = []
-    orig = batcher._prep
+    def spy(req):
+        captured.append(req)
+        orig_put(req)
 
-    def spy(*a, **k):
-        calls.append(threading.current_thread())
-        return orig(*a, **k)
-
-    batcher._prep = spy
+    batcher._waiting.put = spy
     try:
         h = batcher.submit("thread check", _ref(tts, seed=0), seed=1)
-        list(h.chunks())
+        total = sum(c.shape[1] for c in h.chunks())
     finally:
-        batcher._prep = orig
-    assert calls, "prep never ran"
-    assert all(c is threading.current_thread() for c in calls), (
-        "prep ran off the submitting thread"
-    )
-    assert all(c is not batcher._thread for c in calls), (
-        "prep ran on the scheduler tick thread"
-    )
+        batcher._waiting.put = orig_put
+    assert captured, "request never queued"
+    req = captured[0]
+    assert "ids" in req and "ref" in req and "seed" in req
+    assert "prepped" not in req, "submit dispatched conditioning eagerly"
+    assert h.prep_done_s is not None
+    assert total > 0
 
 
 def test_more_sessions_than_slots(tts, batcher):

@@ -167,7 +167,14 @@ def nar_stage_preds(
     z = _stage_hidden(p, cfg, stage, cond, prev_emb, mask, head_tail)
     hid, w_stack, b_stack = _stage_head_stacks(p, stage)
     if use_kernel is None:
-        use_kernel = jax.default_backend() == "tpu"
+        # the kernel pays off when the logits it elides are big; at the
+        # serving tick's head_tail shape (B*T' = 8*16) the per-(head,row)
+        # grid launches cost more than the ~9 MB of logits saved (tick
+        # device time measured +0.7 ms with the kernel at that shape)
+        use_kernel = (
+            jax.default_backend() == "tpu"
+            and z.shape[0] * z.shape[1] >= 256
+        )
     if use_kernel:
         from sopro_tpu.ops.pallas_nar import nar_heads_argmax
 

@@ -133,9 +133,11 @@ class SessionHandle:
     error: Optional[BaseException] = None
     created_s: float = field(default_factory=time.perf_counter)
     # TTFA decomposition (all perf_counter stamps; VERDICT r4 #2):
-    # created -> prep_done (conditioning dispatched on the submitter thread)
-    # -> admitted (slot scattered in) -> first_tick (first tick carrying
-    # this row dispatched) -> first_chunk (audio handed to the client)
+    # created -> prep_done (host-side request build; conditioning itself
+    # runs inside the fused admit graph) -> admitted (fused admit
+    # dispatched) -> first_tick (first tick carrying this row dispatched;
+    # equals `admitted` on the fused admit+ramp path) -> first_chunk
+    # (audio handed to the client)
     prep_done_s: Optional[float] = None
     admitted_s: Optional[float] = None
     first_tick_s: Optional[float] = None
